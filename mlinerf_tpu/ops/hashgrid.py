@@ -1,0 +1,188 @@
+"""Multiresolution hash-grid encoding (TPU-native tiny-cuda-nn replacement).
+
+Replaces the external fully-fused CUDA encoder the reference depends on
+(``tcnn.Encoding(otype=HashGrid)`` at projects/neuralangelo/utils/modules.py:50)
+with a JAX implementation designed for XLA/TPU:
+
+  * all L levels are packed into ONE flat parameter table with static
+    per-level offsets, so the forward is a single batched gather and the
+    backward a single scatter-add (emitted automatically by JAX's gather VJP);
+  * levels whose dense grid fits under the hash-table budget are indexed
+    densely (ix + R*(iy + R*iz)), larger levels use the spatial hash
+    ``x ^ y*2654435761 ^ z*805459861  (mod T)`` — same scheme as tcnn/
+    Instant-NGP so quality characteristics carry over;
+  * coarse-to-fine level annealing is a multiply by a [L] mask supplied as a
+    traced input (projects/neuralangelo/utils/modules.py:97-113 equivalent)
+    — changing the number of active levels never recompiles;
+  * gathers/scatters are laid out as [P, L*8] index matrices so XLA can batch
+    them; the feature contraction (trilinear weights x 8 corners) maps to VPU
+    ops.
+
+A Pallas kernel variant lives in ``hashgrid_pallas.py``; this module is the
+reference implementation and the fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Primes of the Instant-NGP spatial hash (first coordinate unhashed).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static configuration of a multiresolution hash encoding."""
+
+    num_levels: int = 16
+    features_per_level: int = 8
+    log2_hashmap_size: int = 22
+    min_logres: int = 5
+    max_logres: int = 11
+    range_min: float = -2.0
+    range_max: float = 2.0
+    dtype: str = "float32"
+
+    @property
+    def growth_rate(self) -> float:
+        r_min, r_max = 2**self.min_logres, 2**self.max_logres
+        if self.num_levels == 1:
+            return 1.0
+        return float(np.exp((np.log(r_max) - np.log(r_min)) / (self.num_levels - 1)))
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        """Per-level grid resolutions: floor(r_min * g^lv) + 1.
+
+        Matches the reference's python-side resolution table
+        (projects/neuralangelo/utils/modules.py:51-54), which also drives the
+        numerical-gradient epsilon schedule.
+        """
+        r_min = 2**self.min_logres
+        g = self.growth_rate
+        return tuple(int(np.floor(r_min * g**lv)) + 1 for lv in range(self.num_levels))
+
+    @property
+    def table_sizes(self) -> Tuple[int, ...]:
+        """Entries per level: dense when it fits, else the hash-table size."""
+        T = 2**self.log2_hashmap_size
+        sizes = []
+        for res in self.resolutions:
+            dense = res**3
+            sizes.append(dense if dense <= T else T)
+        return tuple(sizes)
+
+    @property
+    def level_offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for s in self.table_sizes:
+            offs.append(offs[-1] + s)
+        return tuple(offs)
+
+    @property
+    def total_entries(self) -> int:
+        return self.level_offsets[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+
+def init_params(key, spec: HashGridSpec, scale: float = 1e-4):
+    """Uniform(-scale, scale) init, the Instant-NGP default."""
+    table = jax.random.uniform(
+        key,
+        (spec.total_entries, spec.features_per_level),
+        jnp.dtype(spec.dtype),
+        minval=-scale,
+        maxval=scale,
+    )
+    return table
+
+
+def _corner_indices(spec: HashGridSpec):
+    """Static [8,3] corner offset matrix."""
+    corners = np.array(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=np.int32
+    )
+    return corners
+
+
+def encode(table, points, spec: HashGridSpec, level_mask=None):
+    """Encode 3D points into concatenated per-level features.
+
+    Args:
+        table: [total_entries, F] parameter table.
+        points: [..., 3] points in world units (normalized internally with
+            ``spec.range_min/max``, as the reference does at modules.py:82-84).
+        level_mask: optional [L] float mask for coarse-to-fine annealing.
+    Returns:
+        features [..., L*F].
+    """
+    lead_shape = points.shape[:-1]
+    x = points.reshape(-1, 3).astype(jnp.float32)
+    x01 = (x - spec.range_min) / (spec.range_max - spec.range_min)  # [P,3]
+
+    resolutions = np.asarray(spec.resolutions, np.int64)
+    table_sizes = np.asarray(spec.table_sizes, np.int64)
+    offsets = np.asarray(spec.level_offsets[:-1], np.int64)
+    dense = resolutions.astype(np.int64) ** 3 <= table_sizes
+    L = spec.num_levels
+    corners = jnp.asarray(_corner_indices(spec))  # [8,3]
+
+    # Per-level cell coordinates. pos in [0, res-1]; cells clamp to res-2 so
+    # corner+1 stays in range (points outside [0,1] clamp to the border).
+    res = jnp.asarray(resolutions, jnp.float32)  # [L]
+    pos = x01[:, None, :] * (res[None, :, None] - 1.0)  # [P,L,3]
+    cell = jnp.floor(pos)
+    cell = jnp.clip(cell, 0.0, res[None, :, None] - 2.0)
+    frac = jnp.clip(pos - cell, 0.0, 1.0)  # [P,L,3]
+    cell = cell.astype(jnp.int32)
+
+    # Corner coordinates: [P,L,8,3]
+    cidx = cell[:, :, None, :] + corners[None, None, :, :]
+
+    # Trilinear weights: [P,L,8]
+    w = jnp.where(corners[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
+    weights = jnp.prod(w, axis=-1)
+
+    # Per-level flat index. Dense levels: ix + R*iy + R^2*iz. Hashed levels:
+    # (ix*p0 ^ iy*p1 ^ iz*p2) mod T. Computed for all levels with static
+    # selection (numpy booleans), no device control flow.
+    ix = cidx[..., 0].astype(jnp.uint32)
+    iy = cidx[..., 1].astype(jnp.uint32)
+    iz = cidx[..., 2].astype(jnp.uint32)
+    res_u = jnp.asarray(resolutions.astype(np.uint32))[None, :, None]
+    dense_idx = ix + res_u * (iy + res_u * iz)
+    hashed_idx = (
+        ix * np.uint32(_PRIMES[0]) ^ iy * np.uint32(_PRIMES[1]) ^ iz * np.uint32(_PRIMES[2])
+    )
+    sizes_u = jnp.asarray(table_sizes.astype(np.uint32))[None, :, None]
+    hashed_idx = hashed_idx % sizes_u
+    dense_mask = jnp.asarray(dense)[None, :, None]
+    idx = jnp.where(dense_mask, dense_idx, hashed_idx)
+    idx = idx.astype(jnp.int32) + jnp.asarray(offsets.astype(np.int32))[None, :, None]  # [P,L,8]
+
+    # Single batched gather over the flat table.
+    feats = jnp.take(table, idx.reshape(-1), axis=0)  # [P*L*8, F]
+    feats = feats.reshape(-1, L, 8, spec.features_per_level)
+    out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # [P,L,F]
+
+    if level_mask is not None:
+        out = out * level_mask[None, :, None].astype(out.dtype)
+    out = out.reshape(*lead_shape, L * spec.features_per_level)
+    return out
+
+
+def active_levels_to_mask(active_levels, num_levels: int):
+    """[L] float mask with ones on the first `active_levels` levels.
+
+    ``active_levels`` may be a traced scalar — the mask is computed with a
+    comparison against iota, so level annealing never triggers recompiles.
+    """
+    return (jnp.arange(num_levels) < active_levels).astype(jnp.float32)
