@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Throughput benchmark: stage-a training step at the reference workload.
+
+Workload mirrors the reference's published training configuration
+(syn_hotdog_a: 2048 rays/iter, 64 coarse + 4x16 hierarchical samples, 16-level
+2^22-entry dim-8 hash grid, 4-tap numerical gradients, 1+4-layer 256-wide
+MLPs — projects/NeuralLumen/configs/syn_hotdog_a.yaml + neuralangelo base).
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / BASELINE_RAYS_PER_SEC}
+
+BASELINE_RAYS_PER_SEC documents the reference's CUDA throughput envelope:
+Neuralangelo-class training runs 500k iterations in roughly 16 h on an
+A100-class GPU (the reference trains on an A40 SLURM partition,
+run_synthetic.sh), i.e. ~8.7 it/s x 2048 rays ~= 17.8k rays/s. We round to
+18_000. vs_baseline > 2.0 meets the BASELINE.md target of >= 2x A100
+rays/sec/chip.
+"""
+
+import json
+import os
+import time
+
+BASELINE_RAYS_PER_SEC = 18_000.0
+
+
+def build_bench_cfg():
+    from mlinerf_tpu.config import Config
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = Config(os.path.join(here, "configs", "base_sdf.yaml"))
+    cfg.trainer.type = "lumen"
+    cfg.model.type = "lumen"
+    cfg.model.background.enabled = False
+    cfg.model.background.white = True
+    cfg.model.light_visibility = {
+        "enabled": False,
+        "camera_ray_type": "blend_z_sphere_tracing",
+        "type": "sphere_tracing",
+        "visibility_bounding_type": "sphere",
+        "visibility_sphere_radius": 0.95,
+    }
+    cfg.model.render.rand_rays = 2048
+    cfg.model.render.rand_rays_val = 20000
+    cfg.max_iter = 500000
+    cfg.data.type = "synthetic"
+    cfg.data.num_cameras = 8
+    cfg.data.num_lights = 4
+    cfg.data.white_background = True
+    cfg.data.train.image_size = [512, 512]
+    cfg.data.train.batch_size = 1
+    cfg.data.val.image_size = [512, 512]
+    cfg.data.train.load_iid = False
+    cfg.data.val.load_iid = False
+    cfg.data.bounding_type = "unit_sphere"
+    cfg.logging_iter = 10**12
+    cfg.validation_iter = 10**12
+    cfg.checkpoint.save_iter = 10**12
+    cfg.checkpoint.save_latest_iter = 10**12
+    cfg.timeout_period = 9999999
+    return cfg
+
+
+def main():
+    import jax
+    import numpy as np
+
+    cfg = build_bench_cfg()
+    # Allow quick local runs: BENCH_SMALL=1 shrinks the grid (CI/CPU).
+    if os.environ.get("BENCH_SMALL"):
+        cfg.model.object.sdf.encoding.hashgrid.dict_size = 15
+        cfg.data.train.image_size = [64, 64]
+        cfg.data.val.image_size = [64, 64]
+        cfg.model.render.rand_rays = 256
+
+    from mlinerf_tpu.config import resolve
+
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = {k: jax.numpy.asarray(v) for k, v in Dataset(cfg).as_arrays().items()}
+    Trainer = resolve("trainer", cfg.trainer.type)
+    trainer = Trainer(cfg, logdir="/tmp/mlinerf_bench")
+    step = trainer.build_train_step()
+    state = trainer.state
+    rng = jax.random.PRNGKey(0)
+
+    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    for _ in range(warmup):
+        state, info = step(state, arrays, rng)
+    jax.block_until_ready(info["total"])
+    t0 = time.time()
+    for _ in range(iters):
+        state, info = step(state, arrays, rng)
+    jax.block_until_ready(info["total"])
+    dt = (time.time() - t0) / iters
+    rays_per_sec = cfg.model.render.rand_rays * cfg.data.train.batch_size / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

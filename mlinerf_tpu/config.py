@@ -211,6 +211,59 @@ def parse_cmdline_arguments(args: List[str]) -> Dict[str, Any]:
     return out
 
 
+class StaticConfig:
+    """Immutable, attribute-access view of a config subtree that is NOT a
+    dict subclass — safe to store on flax.linen modules (linen freezes dict
+    fields into FrozenDicts, which drop attribute access).
+    """
+
+    __slots__ = ("_data",)
+
+    def __init__(self, data):
+        object.__setattr__(self, "_data", dict(data) if not isinstance(data, dict) else data)
+
+    @classmethod
+    def _wrap(cls, value):
+        if isinstance(value, StaticConfig):
+            return value
+        if isinstance(value, dict):
+            return cls(value)
+        return value
+
+    def __getattr__(self, name):
+        try:
+            return self._wrap(self._data[name])
+        except KeyError as exc:
+            raise AttributeError(name) from exc
+
+    def __getitem__(self, name):
+        return self._wrap(self._data[name])
+
+    def __contains__(self, name):
+        return name in self._data
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def __len__(self):
+        return len(self._data)
+
+    def get(self, name, default=None):
+        return self._wrap(self._data.get(name, default))
+
+    def keys(self):
+        return self._data.keys()
+
+    def items(self):
+        return [(k, self._wrap(v)) for k, v in self._data.items()]
+
+    def to_dict(self):
+        return self._data if not isinstance(self._data, AttrDict) else self._data.to_dict()
+
+    def __repr__(self):
+        return f"StaticConfig({self._data!r})"
+
+
 # ---------------------------------------------------------------------------
 # Registry: string -> class. Replaces the reference's importlib plugin idiom
 # (cfg.trainer.type -> module.Trainer etc., get_trainer.py:31-32) with an

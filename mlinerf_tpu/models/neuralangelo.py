@@ -103,10 +103,7 @@ class Model(nn.Module):
         self.neural_sdf = NeuralSDF(cfg_model.object.sdf, compute_dtype=self.compute_dtype)
         self.neural_rgb = self._build_rgb()
         if self.with_background:
-            self.background_nerf = BackgroundNeRF(
-                cfg_model.background, appear_embed=cfg_model.appear_embed,
-                compute_dtype=self.compute_dtype,
-            )
+            self.background_nerf = self._build_background()
         else:
             self.background_nerf = None
         self.s_var = self.param(
@@ -130,6 +127,12 @@ class Model(nn.Module):
             self.cfg_model.object.rgb,
             feat_dim=self.cfg_model.object.sdf.mlp.hidden_dim,
             appear_embed=self.cfg_model.appear_embed,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def _build_background(self):
+        return BackgroundNeRF(
+            self.cfg_model.background, appear_embed=self.cfg_model.appear_embed,
             compute_dtype=self.compute_dtype,
         )
 

@@ -116,6 +116,16 @@ def _corner_indices(spec: HashGridSpec):
 def encode(table, points, spec: HashGridSpec, level_mask=None):
     """Encode 3D points into concatenated per-level features.
 
+    TPU layout note: a single batched gather over all (level, corner) pairs
+    materializes a [P, L, 8, F] tensor whose trailing (8, F=8) dims tile-pad
+    to (8, 128) on TPU — a 16x HBM blowup that OOMs at production sizes
+    (observed: 68 GB for 1M points). Instead we loop over the L levels in
+    Python (unrolled at trace time): each level does one corner-major gather
+    [8*P, F] that XLA fuses into an einsum reducing straight to [F, P] —
+    every materialized tensor has a >= 128 or == 8 trailing/sublane dim, so
+    nothing pads. Levels concat to [L*F=128, P] and one clean 2-D transpose
+    yields the [P, 128] MLP input.
+
     Args:
         table: [total_entries, F] parameter table.
         points: [..., 3] points in world units (normalized internally with
@@ -126,57 +136,46 @@ def encode(table, points, spec: HashGridSpec, level_mask=None):
     """
     lead_shape = points.shape[:-1]
     x = points.reshape(-1, 3).astype(jnp.float32)
+    P = x.shape[0]
     x01 = (x - spec.range_min) / (spec.range_max - spec.range_min)  # [P,3]
 
     resolutions = np.asarray(spec.resolutions, np.int64)
     table_sizes = np.asarray(spec.table_sizes, np.int64)
     offsets = np.asarray(spec.level_offsets[:-1], np.int64)
-    dense = resolutions.astype(np.int64) ** 3 <= table_sizes
-    L = spec.num_levels
+    dense = resolutions**3 <= table_sizes
+    F = spec.features_per_level
     corners = jnp.asarray(_corner_indices(spec))  # [8,3]
 
-    # Per-level cell coordinates. pos in [0, res-1]; cells clamp to res-2 so
-    # corner+1 stays in range (points outside [0,1] clamp to the border).
-    res = jnp.asarray(resolutions, jnp.float32)  # [L]
-    pos = x01[:, None, :] * (res[None, :, None] - 1.0)  # [P,L,3]
-    cell = jnp.floor(pos)
-    cell = jnp.clip(cell, 0.0, res[None, :, None] - 2.0)
-    frac = jnp.clip(pos - cell, 0.0, 1.0)  # [P,L,3]
-    cell = cell.astype(jnp.int32)
-
-    # Corner coordinates: [P,L,8,3]
-    cidx = cell[:, :, None, :] + corners[None, None, :, :]
-
-    # Trilinear weights: [P,L,8]
-    w = jnp.where(corners[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
-    weights = jnp.prod(w, axis=-1)
-
-    # Per-level flat index. Dense levels: ix + R*iy + R^2*iz. Hashed levels:
-    # (ix*p0 ^ iy*p1 ^ iz*p2) mod T. Computed for all levels with static
-    # selection (numpy booleans), no device control flow.
-    ix = cidx[..., 0].astype(jnp.uint32)
-    iy = cidx[..., 1].astype(jnp.uint32)
-    iz = cidx[..., 2].astype(jnp.uint32)
-    res_u = jnp.asarray(resolutions.astype(np.uint32))[None, :, None]
-    dense_idx = ix + res_u * (iy + res_u * iz)
-    hashed_idx = (
-        ix * np.uint32(_PRIMES[0]) ^ iy * np.uint32(_PRIMES[1]) ^ iz * np.uint32(_PRIMES[2])
-    )
-    sizes_u = jnp.asarray(table_sizes.astype(np.uint32))[None, :, None]
-    hashed_idx = hashed_idx % sizes_u
-    dense_mask = jnp.asarray(dense)[None, :, None]
-    idx = jnp.where(dense_mask, dense_idx, hashed_idx)
-    idx = idx.astype(jnp.int32) + jnp.asarray(offsets.astype(np.int32))[None, :, None]  # [P,L,8]
-
-    # Single batched gather over the flat table.
-    feats = jnp.take(table, idx.reshape(-1), axis=0)  # [P*L*8, F]
-    feats = feats.reshape(-1, L, 8, spec.features_per_level)
-    out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # [P,L,F]
-
-    if level_mask is not None:
-        out = out * level_mask[None, :, None].astype(out.dtype)
-    out = out.reshape(*lead_shape, L * spec.features_per_level)
-    return out
+    outs = []
+    for lv in range(spec.num_levels):
+        res = float(resolutions[lv])
+        pos = x01 * (res - 1.0)  # [P,3]
+        cell = jnp.clip(jnp.floor(pos), 0.0, res - 2.0)
+        frac = jnp.clip(pos - cell, 0.0, 1.0)
+        cidx = cell.astype(jnp.int32)[None, :, :] + corners[:, None, :]  # [8,P,3]
+        w = jnp.where(corners[:, None, :] == 1, frac[None], 1.0 - frac[None])  # [8,P,3]
+        weights = jnp.prod(w, axis=-1)  # [8,P]
+        ix = cidx[..., 0].astype(jnp.uint32)
+        iy = cidx[..., 1].astype(jnp.uint32)
+        iz = cidx[..., 2].astype(jnp.uint32)
+        if dense[lv]:
+            r = np.uint32(resolutions[lv])
+            idx = ix + r * (iy + r * iz)
+        else:
+            idx = (
+                ix * np.uint32(_PRIMES[0])
+                ^ iy * np.uint32(_PRIMES[1])
+                ^ iz * np.uint32(_PRIMES[2])
+            ) % np.uint32(table_sizes[lv])
+        idx = idx.astype(jnp.int32) + np.int32(offsets[lv])  # [8,P]
+        feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(8, P, F)
+        out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))  # [F,P]
+        if level_mask is not None:
+            out_l = out_l * level_mask[lv].astype(out_l.dtype)
+        outs.append(out_l)
+    out = jnp.concatenate(outs, axis=0)  # [L*F, P]
+    out = out.T  # [P, L*F]
+    return out.reshape(*lead_shape, spec.num_levels * F)
 
 
 def active_levels_to_mask(active_levels, num_levels: int):

@@ -1,0 +1,80 @@
+"""Device mesh and sharding strategy.
+
+The reference scales with one-process-per-GPU DDP over NCCL
+(imaginaire/utils/distributed.py, get_trainer.py:80-88). The TPU-native
+replacement is a single-controller ``jax.sharding.Mesh``:
+
+  * the per-step **ray axis** is sharded across chips (the models are small
+    MLPs + a replicated hash table; rays are the scalable axis — SURVEY §2.5);
+  * parameters/optimizer state are replicated; XLA inserts the gradient
+    ``psum`` over ICI automatically from the sharding constraints — that one
+    collective IS the whole DDP apparatus;
+  * eval collation (reference all_gather + dedupe, projects/nerf/utils/
+    misc.py:18-60) disappears: outputs of the jitted step are already global
+    arrays under the single-controller model;
+  * multi-host runs initialize with ``jax.distributed.initialize`` and use
+    the same code path (mesh spans all processes' devices).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+RAY_AXIS = "rays"
+BATCH_AXIS = "batch"
+
+
+def get_mesh(strategy: str = "rays", devices=None) -> Optional[Mesh]:
+    """Build a 1-D mesh over all devices (or None to disable sharding)."""
+    if strategy in (None, "none", False):
+        return None
+    devices = devices if devices is not None else jax.devices()
+    axis = RAY_AXIS if strategy == "rays" else BATCH_AXIS
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_rays(mesh: Optional[Mesh], x, axis: int = 1):
+    """Constrain an array to be sharded along its ray axis.
+
+    Layout [B, R, ...]: R is split over the mesh. When the ray count does not
+    divide the device count (or mesh is None) the array stays replicated.
+    """
+    if mesh is None or x is None:
+        return x
+    n = mesh.devices.size
+    if x.ndim <= axis or x.shape[axis] % n != 0:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = mesh.axis_names[0]
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def shard_rays_tree(mesh: Optional[Mesh], batch: Dict, ray_axis_keys: Iterable[str] = ()):
+    """Apply ray-axis sharding constraints to the per-ray entries of a batch.
+
+    Keys listed in ``ray_axis_keys`` and any '[B,R,...]'-shaped pixel tensors
+    (keys ending in '_sampled') are constrained; small per-image tensors stay
+    replicated.
+    """
+    if mesh is None:
+        return batch
+    out = {}
+    for key, value in batch.items():
+        if key in ray_axis_keys or key.endswith("_sampled"):
+            out[key] = shard_rays(mesh, value, axis=1)
+        else:
+            out[key] = value
+    return out
+
+
+def replicate(mesh: Optional[Mesh], tree):
+    """Mark a pytree fully replicated over the mesh."""
+    if mesh is None:
+        return tree
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

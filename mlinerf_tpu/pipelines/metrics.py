@@ -1,0 +1,246 @@
+"""Quality metrics harness: PSNR / SSIM / LPIPS / MSE.
+
+Counterpart of ``projects/NeuralLumen/scripts/compute_metrics.py``:
+alpha-compositing over white before comparison, gamma (1/2.2) on shading
+channels, per-component (RGB / Reflectance / Shading) evaluation.
+
+Implementations are dependency-free:
+  * SSIM matches skimage's ``structural_similarity`` defaults (uniform 7x7
+    window, data_range=1.0, channel-averaged) — the exact configuration the
+    reference uses (compute_metrics.py:65-70);
+  * LPIPS is the standard AlexNet-backbone metric implemented in JAX; the
+    pretrained weights must be supplied as an ``.npz`` (no network access on
+    TPU pods) — when absent, LPIPS is reported as None and skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def mse(pred: np.ndarray, gt: np.ndarray) -> float:
+    return float(np.mean((pred.astype(np.float64) - gt.astype(np.float64)) ** 2))
+
+
+def psnr(pred: np.ndarray, gt: np.ndarray, data_range: float = 1.0) -> float:
+    m = mse(pred, gt)
+    return float(10 * np.log10(data_range**2 / max(m, 1e-12)))
+
+
+def _uniform_filter(img: np.ndarray, size: int) -> np.ndarray:
+    """Separable uniform filter with 'reflect' boundary (scipy semantics)."""
+    from scipy.ndimage import uniform_filter
+
+    return uniform_filter(img, size=size, mode="reflect")
+
+
+def ssim(pred: np.ndarray, gt: np.ndarray, data_range: float = 1.0, win_size: int = 7) -> float:
+    """Mean SSIM over a [H,W] or [H,W,C] pair, skimage-compatible.
+
+    Uses the uniform filter, sample covariance normalization (N-1), and crops
+    the window radius from the borders before averaging — identical to
+    ``skimage.metrics.structural_similarity(..., channel_axis=-1)``.
+    """
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    if pred.ndim == 3:
+        vals = [ssim(pred[..., c], gt[..., c], data_range, win_size) for c in range(pred.shape[-1])]
+        return float(np.mean(vals))
+    K1, K2 = 0.01, 0.03
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    NP = win_size**2
+    cov_norm = NP / (NP - 1)
+    ux = _uniform_filter(pred, win_size)
+    uy = _uniform_filter(gt, win_size)
+    uxx = _uniform_filter(pred * pred, win_size)
+    uyy = _uniform_filter(gt * gt, win_size)
+    uxy = _uniform_filter(pred * gt, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    A1 = 2 * ux * uy + C1
+    A2 = 2 * vxy + C2
+    B1 = ux**2 + uy**2 + C1
+    B2 = vx + vy + C2
+    S = (A1 * A2) / (B1 * B2)
+    pad = (win_size - 1) // 2
+    return float(S[pad:-pad, pad:-pad].mean())
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (AlexNet backbone, weights from npz)
+# ---------------------------------------------------------------------------
+
+_LPIPS_CACHE = {}
+
+# AlexNet feature extractor config: (out_ch, kernel, stride, pad)
+_ALEX_LAYERS = [
+    (64, 11, 4, 2),
+    (192, 5, 1, 2),
+    (384, 3, 1, 1),
+    (256, 3, 1, 1),
+    (256, 3, 1, 1),
+]
+_ALEX_TAPS = [0, 1, 2, 3, 4]  # relu outputs after each conv
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def lpips_weights_path() -> Optional[str]:
+    for cand in (
+        os.environ.get("LPIPS_WEIGHTS", ""),
+        os.path.join(os.path.dirname(__file__), "..", "..", "assets", "lpips_alex.npz"),
+    ):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
+    """LPIPS(AlexNet) on [H,W,3] images in [0,1]; None if weights missing.
+
+    The reference evaluates ``lpips.LPIPS(net='alex')`` with normalize=True
+    (compute_metrics.py:15,80-84); this is the same computation given the
+    official weights exported to npz (script: scripts/export_lpips_weights.py).
+    """
+    path = lpips_weights_path()
+    if path is None:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    if "fn" not in _LPIPS_CACHE:
+        data = np.load(path)
+        weights = {k: jnp.asarray(data[k]) for k in data.files}
+
+        def forward(img):
+            # img [H,W,3] in [0,1] -> normalized, NCHW-free JAX conv stack
+            x = (img * 2.0 - 1.0 - _SHIFT) / _SCALE
+            x = x[None]  # [1,H,W,3]
+            feats = []
+            for li, (out_ch, k, s, p) in enumerate(_ALEX_LAYERS):
+                w = weights[f"conv{li}_w"]  # [k,k,in,out]
+                b = weights[f"conv{li}_b"]
+                x = jax.lax.conv_general_dilated(
+                    x, w, window_strides=(s, s), padding=[(p, p), (p, p)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                x = x + b
+                x = jax.nn.relu(x)
+                feats.append(x)
+                if li in (0, 1):
+                    x = jax.lax.reduce_window(
+                        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+                    )
+            return feats
+
+        def metric(im0, im1):
+            f0, f1 = forward(im0), forward(im1)
+            total = 0.0
+            for li in _ALEX_TAPS:
+                a = f0[li] / (jnp.linalg.norm(f0[li], axis=-1, keepdims=True) + 1e-10)
+                b = f1[li] / (jnp.linalg.norm(f1[li], axis=-1, keepdims=True) + 1e-10)
+                diff = (a - b) ** 2
+                lin = weights[f"lin{li}_w"]  # [1,1,C,1]
+                val = jax.lax.conv_general_dilated(
+                    diff, lin, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+                )
+                total = total + jnp.mean(val)
+            return total
+
+        _LPIPS_CACHE["fn"] = jax.jit(metric)
+    return float(_LPIPS_CACHE["fn"](np.asarray(pred, np.float32), np.asarray(gt, np.float32)))
+
+
+# ---------------------------------------------------------------------------
+# Harness
+# ---------------------------------------------------------------------------
+
+
+def composite_white(img: np.ndarray, alpha: Optional[np.ndarray]) -> np.ndarray:
+    if alpha is None:
+        return img
+    return img * alpha + (1.0 - alpha)
+
+
+def calculate_metrics(pred: np.ndarray, gt: np.ndarray, alpha: Optional[np.ndarray] = None,
+                      gamma: Optional[float] = None) -> Dict[str, Optional[float]]:
+    """All four metrics on a single [H,W,3] pair.
+
+    ``alpha``: optional [H,W,1] matte — both images composite over white.
+    ``gamma``: apply x^(1/gamma) to BOTH (used for shading comparisons).
+    """
+    pred = np.clip(np.asarray(pred, np.float32), 0, 1)
+    gt = np.clip(np.asarray(gt, np.float32), 0, 1)
+    pred = composite_white(pred, alpha)
+    gt = composite_white(gt, alpha)
+    if gamma:
+        pred = pred ** (1.0 / gamma)
+        gt = gt ** (1.0 / gamma)
+    return dict(
+        psnr=psnr(pred, gt),
+        ssim=ssim(pred, gt),
+        lpips=lpips(pred, gt),
+        mse=mse(pred, gt),
+    )
+
+
+def evaluate_outputs(output_dir: str, dataset, image_size, components=("rgb",),
+                     gamma_shading: float = 2.2) -> Dict[str, Dict[str, float]]:
+    """Compare dumped ``{idx}_{key}_map.png`` renders against dataset GT.
+
+    components: subset of ('rgb', 'ref', 'sha') — 'ref'/'sha' require the
+    dataset to expose GT intrinsics (load_iid).
+    """
+    from mlinerf_tpu.utils.image_io import load_image
+
+    comp_key = {"rgb": ("rgb_map", "image", None),
+                "ref": ("o_r_map", "Ref", None),
+                "sha": ("o_s_map", "Sha", gamma_shading)}
+    agg: Dict[str, Dict[str, list]] = {c: {} for c in components}
+    for i in range(len(dataset)):
+        sample = dataset.get_full_sample(i)
+        idx = sample.get("idx", i)
+        for comp in components:
+            pred_key, gt_key, gamma = comp_key[comp]
+            path = os.path.join(output_dir, f"{idx}_{pred_key}.png")
+            if not os.path.exists(path) or gt_key not in sample:
+                continue
+            pred = load_image(path)[..., :3]
+            gt = np.asarray(sample[gt_key])[..., :3]
+            m = calculate_metrics(pred, gt, gamma=gamma)
+            for k, v in m.items():
+                if v is not None:
+                    agg[comp].setdefault(k, []).append(v)
+    out = {c: {k: float(np.mean(v)) for k, v in agg[c].items()} for c in components}
+    return out
+
+
+def main():  # pragma: no cover - CLI
+    import argparse
+
+    parser = argparse.ArgumentParser(description="compute metrics")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--components", default="rgb")
+    args = parser.parse_args()
+    from mlinerf_tpu.config import Config, resolve
+
+    cfg = Config(args.config)
+    for split in ("train", "val"):
+        if "load_iid" in cfg.data.get(split, {}):
+            cfg.data[split].load_iid = True
+    Dataset = resolve("dataset", cfg.data.type)
+    ds = Dataset(cfg, is_inference=True)
+    results = evaluate_outputs(args.output_dir, ds, cfg.data.val.image_size,
+                               components=args.components.split(","))
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

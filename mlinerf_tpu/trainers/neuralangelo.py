@@ -1,0 +1,69 @@
+"""Neuralangelo trainer: L1 render loss (x3), eikonal + curvature regularizers
+with coarse-to-fine scheduling.
+
+Counterpart of ``projects/neuralangelo/trainer.py``. The per-iteration
+schedule (progress, active hash levels, normal epsilon, curvature weight) is
+computed INSIDE the jitted step from the iteration counter via
+``models.neuralangelo.make_cond`` — the TPU-native version of
+``_start_of_iteration`` (trainer.py:65-76).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mlinerf_tpu.config import register
+from mlinerf_tpu.models.neuralangelo import make_cond
+from mlinerf_tpu.trainers.base import BaseTrainer
+from mlinerf_tpu.utils import losses as loss_lib
+
+
+@register("trainer", "neuralangelo")
+class Trainer(BaseTrainer):
+    def __init__(self, cfg, is_inference: bool = False, seed: int = 0, logdir=None):
+        self.warm_up_end = cfg.optim.sched.get("warm_up_end", 0)
+        self.cfg_gradient = cfg.model.object.sdf.gradient
+        super().__init__(cfg, is_inference=is_inference, seed=seed, logdir=logdir)
+
+    def make_cond(self, iteration):
+        return make_cond(self.cfg.model, iteration, self.cfg.max_iter, self.warm_up_end)
+
+    def loss_weights_at(self, iteration, cond):
+        weights = super().loss_weights_at(iteration, cond)
+        cfg_sdf = self.cfg.model.object.sdf
+        if "curvature" in weights and cfg_sdf.encoding.type == "hashgrid" \
+                and cfg_sdf.encoding.coarse2fine.enabled:
+            # Warmup then decay by the growth factor per annealed level
+            # (reference: get_curvature_weight, trainer.py:56-63).
+            init_weight = weights["curvature"]
+            it = jnp.asarray(iteration, jnp.float32)
+            warm = it / max(self.warm_up_end, 1) * init_weight
+            from mlinerf_tpu.models.fields import make_hashgrid_spec
+
+            growth = make_hashgrid_spec(cfg_sdf.encoding).growth_rate
+            decay_factor = growth ** (jnp.asarray(cond["anneal_levels"], jnp.float32) - 1.0)
+            weights["curvature"] = jnp.where(
+                it <= self.warm_up_end, warm, init_weight / decay_factor
+            )
+        return weights
+
+    def compute_loss(self, output, batch, mode: str):
+        losses = {}
+        metrics = {}
+        if mode == "train":
+            target = batch["image_sampled"]
+            # L1 x3 quirk kept for parity (NeuralLumen/trainer.py:136).
+            losses["render"] = loss_lib.l1_loss(output["rgb"], target) * 3
+            metrics["psnr"] = loss_lib.psnr(output["rgb"], target)
+            if "eikonal" in self.weights:
+                losses["eikonal"] = loss_lib.eikonal_loss(output["gradients"], outside=output["outside"])
+            if "curvature" in self.weights and output.get("hessians") is not None:
+                losses["curvature"] = loss_lib.curvature_loss(output["hessians"], outside=output["outside"])
+            metrics["s_var"] = output.get("s_var", jnp.zeros(()))
+        else:
+            target = batch["image"]
+            pred = output.get("rgb_map", output["rgb"])
+            losses["render"] = loss_lib.l1_loss(pred, target)
+            metrics["psnr"] = loss_lib.psnr(pred, target)
+        return losses, metrics

@@ -1,0 +1,106 @@
+"""Optimizer/scheduler factory and parameter partitioning.
+
+Counterpart of ``get_optimizer``/``get_scheduler``
+(imaginaire/trainers/utils/get_trainer.py:101-223) and the partial-training
+machinery (``optim.partial_training`` at projects/NeuralLumen/model.py:422-438,
+``trainer.partial_grad`` at projects/NeuralLumen/trainer.py:44-54).
+
+On TPU the apex FusedAdam has no role — XLA fuses optax updates. Partial
+training is a parameter partition: frozen leaves are closed over as constants
+so the backward pass through them is dead-code-eliminated entirely (stronger
+than the reference's requires_grad masking, which still backprops through the
+frozen hash grid).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mlinerf_tpu.utils.misc import get_schedule
+
+
+def make_optimizer(cfg_optim, max_iter: int = None) -> Tuple[optax.GradientTransformation, Callable]:
+    """Build an optax optimizer with an LR schedule multiplier.
+
+    Returns (tx, lr_fn) where lr_fn(step) gives the absolute learning rate
+    for logging.
+    """
+    name = cfg_optim.type.lower()
+    params_cfg = dict(cfg_optim.get("params", {}))
+    base_lr = params_cfg.pop("lr", 1e-3)
+    sched_fn = get_schedule(cfg_optim.get("sched", {"type": "constant"}), max_iter=max_iter)
+
+    def lr_schedule(step):
+        return base_lr * sched_fn(step)
+
+    kwargs = {}
+    if "weight_decay" in params_cfg:
+        kwargs["weight_decay"] = params_cfg.pop("weight_decay")
+    if "betas" in params_cfg:
+        b1, b2 = params_cfg.pop("betas")
+        kwargs["b1"], kwargs["b2"] = b1, b2
+    if "eps" in params_cfg:
+        kwargs["eps"] = params_cfg.pop("eps")
+
+    if name in ("adam", "fusedadam"):
+        kwargs.pop("weight_decay", None)
+        tx = optax.adam(lr_schedule, **kwargs)
+    elif name == "adamw":
+        tx = optax.adamw(lr_schedule, **kwargs)
+    elif name in ("sgd", "fusedsgd"):
+        momentum = params_cfg.pop("momentum", 0.0)
+        kwargs.pop("weight_decay", None)
+        tx = optax.sgd(lr_schedule, momentum=momentum)
+    elif name == "radam":
+        kwargs.pop("weight_decay", None)
+        tx = optax.radam(lr_schedule, **kwargs)
+    else:
+        raise NotImplementedError(f"Unknown optimizer {cfg_optim.type}")
+    return tx, lr_schedule
+
+
+def param_path_matches(path: Sequence, keywords: Sequence[str]) -> bool:
+    """True when any keyword appears in the '/'-joined param path — the same
+    substring-match contract as the reference's named_parameters scan."""
+    joined = "/".join(str(getattr(k, "key", k)) for k in path)
+    return any(kw in joined for kw in keywords)
+
+
+def trainable_mask(params, keywords: Sequence[str]):
+    """Pytree of bools: True where the param path matches any keyword."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    mask_leaves = [param_path_matches(path, keywords) for path, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, mask_leaves)
+
+
+def partition_params(params, keywords: Sequence[str]):
+    """Split params into (trainable, frozen) trees with None placeholders."""
+    mask = trainable_mask(params, keywords)
+    trainable = jax.tree.map(lambda p, m: p if m else None, params, mask,
+                             is_leaf=lambda x: x is None)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask,
+                          is_leaf=lambda x: x is None)
+    return trainable, frozen
+
+
+def merge_params(trainable, frozen):
+    return jax.tree.map(
+        lambda a, b: a if a is not None else b, trainable, frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def global_norm(tree) -> jnp.ndarray:
+    leaves = [jnp.sum(x.astype(jnp.float32) ** 2) for x in jax.tree.leaves(tree) if x is not None]
+    return jnp.sqrt(sum(leaves)) if leaves else jnp.zeros(())
+
+
+def ema_update(avg_params, new_params, beta: float):
+    """Exponential moving average of parameters (the reference's
+    ``ModelAverage`` on a side CUDA stream — here just another fused XLA op)."""
+    return jax.tree.map(lambda a, p: a * beta + p * (1.0 - beta), avg_params, new_params)

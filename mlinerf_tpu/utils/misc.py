@@ -68,9 +68,11 @@ def schedule_cos_with_warmup(warm_up_end: int, max_iter: int, alpha: float):
 
 
 def schedule_step(step_size: int, gamma: float):
+    step_size_f = float(step_size)  # may exceed int32; schedule math is fp32
+
     def sch(x):
         x = jnp.asarray(x, jnp.float32)
-        return gamma ** jnp.floor(x / step_size)
+        return gamma ** jnp.floor(x / step_size_f)
 
     return sch
 
