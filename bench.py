@@ -80,19 +80,19 @@ def main():
     arrays = {k: jax.numpy.asarray(v) for k, v in Dataset(cfg).as_arrays().items()}
     Trainer = resolve("trainer", cfg.trainer.type)
     trainer = Trainer(cfg, logdir="/tmp/mlinerf_bench")
-    step = trainer.build_train_step()
+    # Measure the production configuration: a scanned multi-step train loop
+    # dispatched as ONE XLA program. Timing forces completion with a host
+    # transfer of the scalar loss (block_until_ready does not synchronize on
+    # every PJRT transport, e.g. remote tunnels).
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    loop = trainer.build_train_loop(iters)
     state = trainer.state
     rng = jax.random.PRNGKey(0)
-
-    warmup = int(os.environ.get("BENCH_WARMUP", 3))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
-    for _ in range(warmup):
-        state, info = step(state, arrays, rng)
-    jax.block_until_ready(info["total"])
+    state, info = loop(state, arrays, rng)  # compile + warm
+    float(jax.device_get(info["total"]))
     t0 = time.time()
-    for _ in range(iters):
-        state, info = step(state, arrays, rng)
-    jax.block_until_ready(info["total"])
+    state, info = loop(state, arrays, rng)
+    float(jax.device_get(info["total"]))
     dt = (time.time() - t0) / iters
     rays_per_sec = cfg.model.render.rand_rays * cfg.data.train.batch_size / dt
     print(json.dumps({

@@ -341,7 +341,8 @@ def _import_builtin(kind: str):
     import importlib
 
     modules = {
-        "model": ["mlinerf_tpu.models.nerf", "mlinerf_tpu.models.neuralangelo", "mlinerf_tpu.models.lumen"],
+        "model": ["mlinerf_tpu.models.nerf", "mlinerf_tpu.models.ingp",
+                  "mlinerf_tpu.models.neuralangelo", "mlinerf_tpu.models.lumen"],
         "trainer": ["mlinerf_tpu.trainers.nerf", "mlinerf_tpu.trainers.neuralangelo", "mlinerf_tpu.trainers.lumen"],
         "dataset": ["mlinerf_tpu.data.blender", "mlinerf_tpu.data.llff", "mlinerf_tpu.data.lumen",
                     "mlinerf_tpu.data.lumen_blender", "mlinerf_tpu.data.synthetic"],

@@ -156,14 +156,17 @@ class Dataset(BaseDataset):
         self._cache[idx] = sample
         return sample
 
+    def _pseudo_label_keys(self, idx: int):
+        """(camera_key, light_key) into the pseudo-label store for frame idx."""
+        frame = self.list[idx]
+        return str(frame.get("camera_index", idx)), str(frame.get("light_index", 0))
+
     def as_arrays(self) -> Dict[str, np.ndarray]:
         out = super().as_arrays()
         if self.has_pseudo_label:
             refs, shas, vis = [], [], []
             for i in range(len(self)):
-                frame = self.list[i]
-                cam = str(frame.get("camera_index", i))
-                light = str(frame.get("light_index", 0))
+                cam, light = self._pseudo_label_keys(i)
                 node = self.pseudo_label[cam]
                 refs.append(np.asarray(node["pseudo_reflectance"], np.float32))
                 shas.append(np.asarray(node[light]["pseudo_shading_gamma"], np.float32))

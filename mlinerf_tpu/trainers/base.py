@@ -312,6 +312,10 @@ class BaseTrainer:
         return self.cfg.model.get("rand_rays_val") or 20000
 
     def build_train_step(self) -> Callable:
+        return jax.jit(self._train_step_fn(), donate_argnums=(0,))
+
+    def _train_step_fn(self) -> Callable:
+        """The raw (un-jitted) train step — also the body of scanned loops."""
         cfg = self.cfg
         partial_kw = self.partial_keywords
         grad_accum = cfg.trainer.get("grad_accum_iter", 1)
@@ -368,7 +372,36 @@ class BaseTrainer:
                         grad_norm=optim_lib.global_norm(grads))
             return new_state, info
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
+
+    def build_train_loop(self, num_steps: int) -> Callable:
+        """Scan ``num_steps`` train steps into ONE dispatched XLA program.
+
+        The TPU-native answer to per-step dispatch latency: with the dataset
+        device-resident and all schedules derived from the traced iteration
+        counter, a whole logging window of steps runs back-to-back on-chip.
+        Returns mean losses/metrics over the window.
+        """
+        inner = self._train_step_fn()
+
+        def train_loop(state: TrainState, arrays, rng):
+            def body(carry, _):
+                st = carry
+                new_st, info = inner(st, arrays, rng)
+                return new_st, (info["total"], info["losses"], info["metrics"], info["grad_norm"])
+
+            state, (totals, losses, metrics, gnorms) = jax.lax.scan(
+                body, state, None, length=num_steps
+            )
+            info = dict(
+                total=jnp.mean(totals),
+                losses=jax.tree.map(jnp.mean, losses),
+                metrics=jax.tree.map(jnp.mean, metrics),
+                grad_norm=jnp.mean(gnorms),
+            )
+            return state, info
+
+        return jax.jit(train_loop, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     # Train loop (host side)
@@ -377,8 +410,6 @@ class BaseTrainer:
     def train(self, train_arrays: Dict[str, jnp.ndarray], val_dataset=None,
               show_progress: bool = False):
         cfg = self.cfg
-        if self._train_step_jit is None:
-            self._train_step_jit = self.build_train_step()
         arrays = {k: jnp.asarray(v) for k, v in train_arrays.items()}
         state = self.state
         rng = jax.random.fold_in(self.rng, 17)
@@ -388,27 +419,55 @@ class BaseTrainer:
         log_iter = cfg.logging_iter
         scalar_iter = cfg.get("wandb_scalar_iter", log_iter)
         val_iter = cfg.get("validation_iter", 10**12)
+        # Dispatch windows must land exactly on every logging/val/ckpt
+        # boundary: use the gcd of all active cadences.
+        import math
+
+        active = [c for c in (log_iter, scalar_iter, val_iter,
+                              cfg.checkpoint.save_iter, cfg.checkpoint.save_latest_iter)
+                  if c and c <= max_iter]
+        cadence = math.gcd(*active) if active else max(max_iter - start_iter, 1)
+        # Steps fused into one dispatched program. Default: the full cadence
+        # window (device-resident data + in-step schedules make this safe).
+        spd = cfg.trainer.get("steps_per_dispatch") or min(cadence, 100)
+        spd = max(int(spd), 1)
+        loops = {}  # scan length -> jitted loop
+
+        def run(state, n, rng):
+            if n not in loops:
+                loops[n] = (self.build_train_step() if n == 1 else self.build_train_loop(n))
+            return loops[n](state, arrays, rng)
+
         info = None
         t_window = time.time()
+        iters_in_window = 0
         self.watchdog.reset()
-        for it in range(start_iter, max_iter):
+        it = start_iter
+        while it < max_iter:
+            n = min(spd, max_iter - it)
+            # Never step across a cadence boundary.
+            to_boundary = cadence - (it % cadence)
+            n = min(n, to_boundary)
             self.timer.start_iteration()
-            state, info = self._train_step_jit(state, arrays, rng)
-            self.current_iteration = it + 1
-            self.current_epoch = (it + 1) * cfg.data.train.batch_size // images_per_epoch
-            if (it + 1) % min(log_iter, scalar_iter) == 0:
+            state, info = run(state, n, rng)
+            it += n
+            iters_in_window += n
+            self.current_iteration = it
+            self.current_epoch = it * cfg.data.train.batch_size // images_per_epoch
+            if it % min(log_iter, scalar_iter) == 0 or it == max_iter:
                 info_host = jax.device_get(info)
                 total = float(info_host["total"])
                 if not np.isfinite(total):
                     self.state = state
                     raise FloatingPointError(
-                        f"Training loss is {total} at iteration {it+1} — aborting "
+                        f"Training loss is {total} at iteration {it} — aborting "
                         f"(NaN/Inf kill-switch, reference: projects/nerf/trainers/base.py:58)."
                     )
                 self.losses_host = {k: float(v) for k, v in info_host["losses"].items()}
                 self.metrics_host = {k: float(v) for k, v in info_host["metrics"].items()}
-                dt = (time.time() - t_window) / min(log_iter, scalar_iter)
+                dt = (time.time() - t_window) / max(iters_in_window, 1)
                 t_window = time.time()
+                iters_in_window = 0
                 scalars = {
                     "train/total_loss": total,
                     "train/iter_time": dt,
@@ -418,16 +477,16 @@ class BaseTrainer:
                     **{f"train/loss/{k}": v for k, v in self.losses_host.items()},
                     **{f"train/{k}": v for k, v in self.metrics_host.items()},
                 }
-                self.logger.log_scalars(scalars, it + 1)
+                self.logger.log_scalars(scalars, it)
                 if show_progress:
                     msg = ", ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in scalars.items()
                                     if "loss" in k or "psnr" in k.lower())
-                    print(f"[iter {it+1}/{max_iter}] {msg} ({dt*1000:.1f} ms/it)")
+                    print(f"[iter {it}/{max_iter}] {msg} ({dt*1000:.1f} ms/it)")
                 self.watchdog.reset()
-            if (it + 1) % val_iter == 0 and val_dataset is not None:
+            if it % val_iter == 0 and val_dataset is not None:
                 self.state = state
-                self.validate(val_dataset, step=it + 1)
-            self._checkpoint_triggers(state, it + 1)
+                self.validate(val_dataset, step=it)
+            self._checkpoint_triggers(state, it)
         self.state = state
         self.watchdog.disarm()
         self.checkpointer.wait()
