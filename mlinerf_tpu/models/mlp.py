@@ -40,15 +40,13 @@ class WNDense(nn.Module):
         kernel = self.param("kernel", self.kernel_init, (in_features, self.features), jnp.float32)
         bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         if self.use_weightnorm:
-            def g_init(key, shape, dtype=jnp.float32):
-                # ||v|| per output unit of the *initial* kernel.
-                k = self.kernel_init(key, (in_features, self.features), jnp.float32)
-                del k  # g must match the actual kernel; see note below.
-                return jnp.ones(shape, dtype)
-
-            # Initialize g to 1 and fold the initial norm into the kernel:
-            # equivalent parameterization, avoids needing the same RNG twice.
-            g = self.param("g", nn.initializers.ones, (self.features,), jnp.float32)
+            # Exact torch weight_norm semantics: w = g * v/||v|| with
+            # g initialized to ||v_init|| so the initial function equals the
+            # raw init (critical for geometric initialization). The g
+            # initializer closes over the just-created kernel param.
+            g = self.param(
+                "g", lambda _key: jnp.linalg.norm(kernel, axis=0) + 1e-12
+            )
             norm = jnp.linalg.norm(kernel, axis=0, keepdims=True) + 1e-12
             kernel = g[None, :] * kernel / norm
         kernel = kernel.astype(self.compute_dtype)

@@ -71,6 +71,19 @@ def make_cond(cfg_model, current_iter: int, max_iter: int, warm_up_end: int = 0)
     return cond
 
 
+def get_iter_cos(true_cos, progress, anneal_end: float):
+    """Annealed, always-non-positive cosine for NeuS section estimates.
+
+    Keeps the cos value alive early in training (reference
+    projects/neuralangelo/model.py:511-515).
+    """
+    anneal_ratio = jnp.minimum(progress / anneal_end, 1.0)
+    return -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - anneal_ratio)
+        + jax.nn.relu(-true_cos) * anneal_ratio
+    )
+
+
 class NeuralSDFSpecCache:
     """Small helper to expose hash-grid static metadata without a module."""
 
@@ -216,12 +229,7 @@ class Model(nn.Module):
         return alphas
 
     def _get_iter_cos(self, true_cos, progress):
-        anneal_ratio = jnp.minimum(progress / self.anneal_end, 1.0)
-        # Keeps cos "alive" at the start of training; always non-positive.
-        return -(
-            jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - anneal_ratio)
-            + jax.nn.relu(-true_cos) * anneal_ratio
-        )
+        return get_iter_cos(true_cos, progress, self.anneal_end)
 
     # ------------------------------------------------------------------
     # Gradients (numerical tap-batched or analytical)
