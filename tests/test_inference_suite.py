@@ -1,0 +1,66 @@
+"""Inference suite end-to-end: image dumps, relighting video, test_all_light
+pseudo-label renders, and label generation — one tiny model, one pass."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mlinerf_tpu.config import resolve
+from mlinerf_tpu.pipelines import inference as inf
+from mlinerf_tpu.pipelines.label_store import load_results_all
+from mlinerf_tpu.pipelines.pseudo_label import generate_pseudo_labels
+from tests.test_train_e2e import tiny_lumen_cfg
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("inf_suite")
+    cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=2)
+    cfg.data.train.image_size = [24, 24]
+    cfg.data.val.image_size = [24, 24]
+    cfg.model.render.rand_rays_val = 288
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = Dataset(cfg).as_arrays()
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, logdir=str(tmp_path / "log"))
+    tr.train(arrays)
+    val_ds = Dataset(cfg, is_inference=True)
+    return cfg, tr, val_ds, tmp_path
+
+
+def test_test_save(trained):
+    cfg, tr, val_ds, tmp_path = trained
+    out_dir = str(tmp_path / "imgs")
+    inf.test_save(tr, val_ds, out_dir, image_size=cfg.data.val.image_size)
+    files = os.listdir(out_dir)
+    assert any("rgb_map" in f for f in files)
+    assert any("normal_map" in f for f in files)
+    assert any("_gt" in f for f in files)
+
+
+def test_test_video(trained):
+    cfg, tr, val_ds, tmp_path = trained
+    out_dir = str(tmp_path / "video")
+    path = inf.test_video(tr, val_ds, 0, 1, out_dir, video_content=("rgb", "gt"),
+                          num_frames=3, image_size=cfg.data.val.image_size, fps=5)
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_all_light_and_pseudo_labels(trained):
+    cfg, tr, val_ds, tmp_path = trained
+    out_dir = str(tmp_path / "lights")
+    results = tr.test_all_light(val_ds, out_dir, dataset_type="unpair",
+                                sample_num=2, seed=1, save_pngs=False)
+    assert os.path.exists(os.path.join(out_dir, "results_all.npz"))
+    loaded = load_results_all(os.path.join(out_dir, "results_all"))
+    cam0 = loaded["0"]
+    assert set(cam0.keys()) >= {"0", "1"}
+    for key in ("rgb_render", "normal", "visibility", "normal_x_light", "inter_mask"):
+        assert key in cam0["0"], key
+        assert np.isfinite(cam0["0"][key]).all()
+    labels = generate_pseudo_labels(loaded, setting="unpair")
+    H, W = cfg.data.val.image_size
+    for cam in labels:
+        assert labels[cam]["pseudo_reflectance"].shape == (H, W, 3)
+        assert np.isfinite(labels[cam]["pseudo_reflectance"]).all()
