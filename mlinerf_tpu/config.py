@@ -28,14 +28,16 @@ class AttrDict(dict):
         for key, value in list(self.items()):
             self[key] = self._wrap(value)
 
-    @classmethod
-    def _wrap(cls, value):
+    @staticmethod
+    def _wrap(value):
+        # Always wrap as plain AttrDict — subclasses (Config) have
+        # constructor signatures that take filenames, not dicts.
         if isinstance(value, AttrDict):
             return value
         if isinstance(value, dict):
-            return cls(value)
+            return AttrDict(value)
         if isinstance(value, (list, tuple)):
-            return [cls._wrap(v) for v in value]
+            return [AttrDict._wrap(v) for v in value]
         return value
 
     def __getattr__(self, name: str):

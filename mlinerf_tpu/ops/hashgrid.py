@@ -94,15 +94,22 @@ class HashGridSpec:
 
 
 def init_params(key, spec: HashGridSpec, scale: float = 1e-4):
-    """Uniform(-scale, scale) init, the Instant-NGP default."""
-    table = jax.random.uniform(
-        key,
-        (spec.total_entries, spec.features_per_level),
-        jnp.dtype(spec.dtype),
-        minval=-scale,
-        maxval=scale,
+    """Per-level tables, Uniform(-scale, scale) init (Instant-NGP default).
+
+    The levels are SEPARATE pytree leaves rather than one flat array: each
+    level's gather then back-propagates into a gradient buffer of that
+    level's size only. With a single flat table every level's scatter-add VJP
+    materializes a full-table-sized buffer (16 x 1.5 GB at production size —
+    observed to kill the TPU worker).
+    """
+    keys = jax.random.split(key, spec.num_levels)
+    return tuple(
+        jax.random.uniform(
+            keys[lv], (size, spec.features_per_level), jnp.dtype(spec.dtype),
+            minval=-scale, maxval=scale,
+        )
+        for lv, size in enumerate(spec.table_sizes)
     )
-    return table
 
 
 def _corner_indices(spec: HashGridSpec):
@@ -127,7 +134,7 @@ def encode(table, points, spec: HashGridSpec, level_mask=None):
     yields the [P, 128] MLP input.
 
     Args:
-        table: [total_entries, F] parameter table.
+        table: tuple of per-level [size_l, F] parameter tables.
         points: [..., 3] points in world units (normalized internally with
             ``spec.range_min/max``, as the reference does at modules.py:82-84).
         level_mask: optional [L] float mask for coarse-to-fine annealing.
@@ -141,7 +148,6 @@ def encode(table, points, spec: HashGridSpec, level_mask=None):
 
     resolutions = np.asarray(spec.resolutions, np.int64)
     table_sizes = np.asarray(spec.table_sizes, np.int64)
-    offsets = np.asarray(spec.level_offsets[:-1], np.int64)
     dense = resolutions**3 <= table_sizes
     F = spec.features_per_level
     corners = jnp.asarray(_corner_indices(spec))  # [8,3]
@@ -167,8 +173,8 @@ def encode(table, points, spec: HashGridSpec, level_mask=None):
                 ^ iy * np.uint32(_PRIMES[1])
                 ^ iz * np.uint32(_PRIMES[2])
             ) % np.uint32(table_sizes[lv])
-        idx = idx.astype(jnp.int32) + np.int32(offsets[lv])  # [8,P]
-        feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(8, P, F)
+        idx = idx.astype(jnp.int32)  # [8,P]
+        feats = jnp.take(table[lv], idx.reshape(-1), axis=0).reshape(8, P, F)
         out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))  # [F,P]
         if level_mask is not None:
             out_l = out_l * level_mask[lv].astype(out_l.dtype)

@@ -221,6 +221,68 @@ def evaluate_outputs(output_dir: str, dataset, image_size, components=("rgb",),
     return out
 
 
+# ---------------------------------------------------------------------------
+# Output-layout adapters: map (method, component, index) -> filename. Used to
+# score this framework's dumps AND other methods' published outputs against
+# the same GT (reference compute_metrics.py:115-192).
+# ---------------------------------------------------------------------------
+
+METHOD_LAYOUTS = {
+    # ours: {idx}_{o_r|o_s|rgb}_map.png (test.py image mode)
+    "ours": lambda path, comp, i: os.path.join(
+        path, f"{i}_{ {'Ref': 'o_r', 'Sha': 'o_s', 'Img': 'rgb'}[comp] }_map.png"
+    ),
+    "IntrinsicNeRF": lambda path, comp, i: os.path.join(
+        path, f"{ {'Ref': 'a', 'Sha': 's', 'Img': ''}[comp] }{i:03d}.png"
+    ),
+    "NRHints": lambda path, comp, i: os.path.join(path, f"rgb_{i:03d}.png"),
+    "PIE-Net": lambda path, comp, i: os.path.join(
+        path, f"{i:03d}_{ {'Ref': 'ref', 'Sha': 'sha'}[comp] }.png"
+    ),
+    "InvRender": lambda path, comp, i: os.path.join(
+        path, f"{ {'Ref': 'albedo', 'Img': 'sg_rgb_bg'}[comp] }_{i}.png"
+    ),
+    "TensoIR": lambda path, comp, i: os.path.join(
+        path,
+        (f"imgs_test_all/brdf/{i:03d}_albedo.png" if comp == "Ref"
+         else f"imgs_test_all/nvs_with_radiance_field/{i:03d}_rgb_prediction.png"),
+    ),
+}
+
+
+def evaluate_method_outputs(pred_dir: str, gt_dir: str, method: str = "ours",
+                            components=("Img",), num_images: int = 100,
+                            gamma_shading: float = 2.2):
+    """Score a method's dumped images against GT dumps.
+
+    GT layout: ``{i:03d}_{Img|Ref|Sha}.png`` with the Img alpha channel used
+    as the compositing matte (the reference's syn_intrinsic layout).
+    """
+    from mlinerf_tpu.utils.image_io import load_image
+
+    layout = METHOD_LAYOUTS[method]
+    agg: Dict[str, Dict[str, list]] = {c: {} for c in components}
+    for i in range(num_images):
+        gt_img_path = os.path.join(gt_dir, f"{i:03d}_Img.png")
+        if not os.path.exists(gt_img_path):
+            continue
+        gt_rgba = load_image(gt_img_path)
+        alpha = gt_rgba[..., 3:4] if gt_rgba.shape[-1] == 4 else None
+        for comp in components:
+            pred_path = layout(pred_dir, comp, i)
+            gt_path = os.path.join(gt_dir, f"{i:03d}_{comp}.png")
+            if not (os.path.exists(pred_path) and os.path.exists(gt_path)):
+                continue
+            pred = load_image(pred_path)[..., :3]
+            gt = load_image(gt_path)[..., :3]
+            gamma = gamma_shading if comp == "Sha" else None
+            m = calculate_metrics(pred, gt, alpha=alpha, gamma=gamma)
+            for k, v in m.items():
+                if v is not None:
+                    agg[comp].setdefault(k, []).append(v)
+    return {c: {k: float(np.mean(v)) for k, v in agg[c].items()} for c in components}
+
+
 def main():  # pragma: no cover - CLI
     import argparse
 

@@ -21,10 +21,13 @@ import numpy as np
 
 
 def _flatten_dict(d, prefix=""):
+    """Flatten nested dicts AND tuple/list leaves (e.g. per-level hash
+    tables) into path -> array entries."""
     out = {}
-    for k, v in d.items():
+    items = d.items() if isinstance(d, dict) else enumerate(d)
+    for k, v in items:
         path = f"{prefix}/{k}" if prefix else str(k)
-        if isinstance(v, dict):
+        if isinstance(v, dict) or isinstance(v, (tuple, list)):
             out.update(_flatten_dict(v, path))
         else:
             out[path] = v
@@ -35,8 +38,12 @@ def _set_path(d, path, value):
     keys = path.split("/")
     node = d
     for k in keys[:-1]:
-        node = node[k]
-    node[keys[-1]] = value
+        node = node[int(k)] if isinstance(node, list) else node[k]
+    last = keys[-1]
+    if isinstance(node, list):
+        node[int(last)] = value
+    else:
+        node[last] = value
 
 
 class Checkpointer:
@@ -135,7 +142,23 @@ def nonstrict_restore(target_params: Dict[str, Any], source_params: Dict[str, An
     missing, unexpected, mismatched = [], [], []
     import copy
 
-    out = copy.deepcopy(target_params)
+    def tuples_to_lists(node):
+        if isinstance(node, dict):
+            return {k: tuples_to_lists(v) for k, v in node.items()}
+        if isinstance(node, (tuple, list)):
+            return [tuples_to_lists(v) for v in node]
+        return node
+
+    def lists_to_tuples(node, template):
+        if isinstance(template, dict):
+            return {k: lists_to_tuples(node[k], template[k]) for k in template}
+        if isinstance(template, tuple):
+            return tuple(lists_to_tuples(n, t) for n, t in zip(node, template))
+        if isinstance(template, list):
+            return [lists_to_tuples(n, t) for n, t in zip(node, template)]
+        return node
+
+    out = tuples_to_lists(copy.deepcopy(target_params))
     for path, val in flat_source.items():
         if path not in flat_target:
             unexpected.append(path)
@@ -147,4 +170,5 @@ def nonstrict_restore(target_params: Dict[str, Any], source_params: Dict[str, An
     for path in flat_target:
         if path not in flat_source:
             missing.append(path)
+    out = lists_to_tuples(out, target_params)
     return out, dict(missing=missing, unexpected=unexpected, mismatched=mismatched)

@@ -40,12 +40,12 @@ def test_encode_exact_at_grid_nodes():
         range_min=0.0, range_max=1.0,
     )
     res = spec.resolutions[0]
-    table = jnp.arange(spec.total_entries * 2, dtype=jnp.float32).reshape(-1, 2)
+    table = (jnp.arange(spec.total_entries * 2, dtype=jnp.float32).reshape(-1, 2),)
     # node (i,j,k) = (1,2,3) -> x01 = (1,2,3)/(res-1)
     x = jnp.asarray([[1.0, 2.0, 3.0]]) / (res - 1)
     out = hashgrid.encode(table, x, spec)
     flat = 1 + res * (2 + res * 3)
-    np.testing.assert_allclose(out[0], table[flat], atol=1e-5)
+    np.testing.assert_allclose(out[0], table[0][flat], atol=1e-5)
 
 
 def test_encode_trilinear_midpoint():
@@ -55,12 +55,12 @@ def test_encode_trilinear_midpoint():
     )
     res = spec.resolutions[0]
     key = jax.random.PRNGKey(1)
-    table = jax.random.normal(key, (spec.total_entries, 1))
+    table = (jax.random.normal(key, (spec.total_entries, 1)),)
     # midpoint of cell (0,0,0): average of its 8 corner features
     x = jnp.asarray([[0.5, 0.5, 0.5]]) / (res - 1)
     out = hashgrid.encode(table, x, spec)
     corners = [i + res * (j + res * k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
-    expect = np.mean([float(table[c, 0]) for c in corners])
+    expect = np.mean([float(table[0][c, 0]) for c in corners])
     np.testing.assert_allclose(float(out[0, 0]), expect, atol=1e-5)
 
 
@@ -84,9 +84,11 @@ def test_gradients_flow_to_table():
         return jnp.sum(hashgrid.encode(tb, pts, SMALL) ** 2)
 
     g = jax.grad(loss)(table)
-    assert g.shape == table.shape
-    assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.sum(jnp.abs(g))) > 0
+    assert len(g) == len(table)
+    for gl, tl in zip(g, table):
+        assert gl.shape == tl.shape
+        assert np.isfinite(np.asarray(gl)).all()
+    assert sum(float(jnp.sum(jnp.abs(gl))) for gl in g) > 0
 
 
 def test_gradients_wrt_points():
