@@ -198,7 +198,6 @@ class BaseTrainer:
         self.metrics_host: Dict[str, float] = {}
         self.init_losses(cfg)
         self._maybe_warm_start(cfg)
-        self._train_step_jit = None
 
     # ------------------------------------------------------------------
     # Setup pieces
@@ -547,54 +546,70 @@ class BaseTrainer:
         return self.state.params
 
     @functools.cached_property
-    def _render_chunk_jit(self):
-        def fn(params, center, ray, cond, rng, pts_light=None):
-            kwargs = {}
-            if pts_light is not None:
-                kwargs["pts_light"] = pts_light
-            return self.model.apply(
-                {"params": params}, center, ray, cond, rng=rng,
-                method=self.model.render_chunk, **kwargs,
-            )
+    def _render_image_jit(self):
+        """One jitted program rendering ALL chunks of a full image.
 
-        return jax.jit(fn)
+        The host chunk loop of the reference's ``ray_generator``
+        (nerf_util.py:119-124) becomes a ``lax.map`` over fixed-size ray
+        chunks inside a single dispatch — memory stays chunk-bounded while
+        dispatch latency is paid once per image instead of per chunk.
+        """
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def fn(params, center, ray, cond_it, rng, num_rays_chunk, pts_light=None):
+            cond = self.make_cond(cond_it)
+            B, total = center.shape[0], center.shape[1]
+            pad = (-total) % num_rays_chunk
+            def prep(x):
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                return x.reshape(B, -1, num_rays_chunk, 3).swapaxes(0, 1)  # [C,B,R,3]
+            center_c, ray_c = prep(center), prep(ray)
+            light_c = prep(pts_light) if pts_light is not None else None
+
+            def render_one(args):
+                if light_c is not None:
+                    c, r, l = args
+                    out = self.model.apply({"params": params}, c, r, cond, pts_light=l,
+                                           rng=rng, method=self.model.render_chunk)
+                else:
+                    c, r = args
+                    out = self.model.apply({"params": params}, c, r, cond,
+                                           rng=rng, method=self.model.render_chunk)
+                # Keep only per-ray [B,R,K] tensors (drop per-sample fields
+                # to bound memory across chunks).
+                return {k: v for k, v in out.items()
+                        if v is not None and hasattr(v, "ndim") and v.ndim == 3
+                        and v.shape[1] == num_rays_chunk}
+
+            args = (center_c, ray_c, light_c) if light_c is not None else (center_c, ray_c)
+            outs = jax.lax.map(render_one, args)
+            # [C,B,R,K] -> [B,C*R,K] -> trim padding
+            outs = {k: v.swapaxes(0, 1).reshape(B, -1, v.shape[-1])[:, :total]
+                    for k, v in outs.items()}
+            return outs
+
+        return fn
 
     def render_image(self, data: Dict[str, np.ndarray], image_size,
                      num_rays_chunk: Optional[int] = None) -> Dict[str, np.ndarray]:
-        """Render full images by fixed-size ray chunks (host loop).
-
-        The chunk shape is constant (padded on the last chunk) so only one
-        XLA program is compiled regardless of resolution.
-        """
+        """Render full images (single fused dispatch; see _render_image_jit)."""
         H, W = image_size
-        num_rays_chunk = num_rays_chunk or self.num_val_rays()
+        num_rays_chunk = int(num_rays_chunk or self.num_val_rays())
         pose = jnp.asarray(data["pose"])
         intr = jnp.asarray(data["intr"])
-        B = pose.shape[0]
         center, ray = camera.get_center_and_ray(pose, intr, (H, W))
         pts_light = None
         if "pose_light" in data and self._needs_light():
             light_center = camera.get_camera_center(jnp.asarray(data["pose_light"]), num_pixels=1)
             pts_light = jnp.broadcast_to(light_center, ray.shape)
-        total = H * W
-        cond = self.make_cond(jnp.asarray(self.current_iteration, jnp.int32))
+        num_rays_chunk = min(num_rays_chunk, H * W)
         params = self.eval_params()
         rng = jax.random.PRNGKey(0)
-        chunks = []
-        for c0 in range(0, total, num_rays_chunk):
-            c1 = min(c0 + num_rays_chunk, total)
-            pad = num_rays_chunk - (c1 - c0)
-            sl = lambda x: jnp.pad(x[:, c0:c1], ((0, 0), (0, pad), (0, 0))) if pad else x[:, c0:c1]
-            out = self._render_chunk_jit(
-                params, sl(center), sl(ray), cond, rng,
-                pts_light=sl(pts_light) if pts_light is not None else None,
-            )
-            out = jax.device_get(out)
-            out = {k: v[:, : c1 - c0] for k, v in out.items()
-                   if v is not None and hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] == num_rays_chunk}
-            chunks.append(out)
-        merged = {k: np.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]}
-        return merged
+        out = self._render_image_jit(
+            params, center, ray, jnp.asarray(self.current_iteration, jnp.int32), rng,
+            num_rays_chunk, pts_light=pts_light,
+        )
+        return jax.device_get(out)
 
     def inference_outputs(self, data, image_size) -> Dict[str, np.ndarray]:
         """Full inference pass returning *_map images [B,H,W,C]."""

@@ -205,43 +205,53 @@ class Trainer(AngeloTrainer):
         return maps
 
     def render_image_light(self, data, image_size, num_rays_chunk: Optional[int] = None):
-        """Chunked full-image render with light visibility enabled."""
+        """Full-image render with the light-visibility branch forced on —
+        one fused dispatch (lax.map over chunks), like base.render_image."""
         from mlinerf_tpu.utils import camera as cam_util
 
         H, W = image_size
-        num_rays_chunk = num_rays_chunk or self.num_val_rays()
+        num_rays_chunk = min(int(num_rays_chunk or self.num_val_rays()), H * W)
         pose = jnp.asarray(data["pose"])
         intr = jnp.asarray(data["intr"])
         center, ray = cam_util.get_center_and_ray(pose, intr, (H, W))
         light_center = cam_util.get_camera_center(jnp.asarray(data["pose_light"]), num_pixels=1)
         pts_light = jnp.broadcast_to(light_center, ray.shape)
-        cond = self.make_cond(jnp.asarray(self.current_iteration, jnp.int32))
         params = self.eval_params()
         rng = jax.random.PRNGKey(0)
-        total = H * W
-        chunks = []
-        for c0 in range(0, total, num_rays_chunk):
-            c1 = min(c0 + num_rays_chunk, total)
-            pad = num_rays_chunk - (c1 - c0)
-            sl = lambda x: jnp.pad(x[:, c0:c1], ((0, 0), (0, pad), (0, 0))) if pad else x[:, c0:c1]
-            out = self._render_chunk_light_jit(
-                params, sl(center), sl(ray), cond, rng, sl(pts_light)
-            )
-            out = jax.device_get(out)
-            out = {k: v[:, : c1 - c0] for k, v in out.items()
-                   if v is not None and hasattr(v, "ndim") and v.ndim >= 2
-                   and v.shape[1] == num_rays_chunk}
-            chunks.append(out)
-        return {k: np.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]}
+        out = self._render_image_light_jit(
+            params, center, ray, jnp.asarray(self.current_iteration, jnp.int32), rng,
+            num_rays_chunk, pts_light,
+        )
+        return jax.device_get(out)
 
     @property
-    def _render_chunk_light_jit(self):
-        if not hasattr(self, "_render_chunk_light_cached"):
-            def fn(params, center, ray, cond, rng, pts_light):
-                return self.model.apply(
-                    {"params": params}, center, ray, cond, pts_light=pts_light, rng=rng,
-                    with_light_visibility=True, method=self.model.render_chunk,
-                )
+    def _render_image_light_jit(self):
+        if not hasattr(self, "_render_image_light_cached"):
+            import functools
 
-            self._render_chunk_light_cached = jax.jit(fn)
-        return self._render_chunk_light_cached
+            @functools.partial(jax.jit, static_argnums=(5,))
+            def fn(params, center, ray, cond_it, rng, num_rays_chunk, pts_light):
+                cond = self.make_cond(cond_it)
+                B, total = center.shape[0], center.shape[1]
+                pad = (-total) % num_rays_chunk
+
+                def prep(x):
+                    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                    return x.reshape(B, -1, num_rays_chunk, 3).swapaxes(0, 1)
+
+                def render_one(args):
+                    c, r, l = args
+                    out = self.model.apply(
+                        {"params": params}, c, r, cond, pts_light=l, rng=rng,
+                        with_light_visibility=True, method=self.model.render_chunk,
+                    )
+                    return {k: v for k, v in out.items()
+                            if v is not None and hasattr(v, "ndim") and v.ndim == 3
+                            and v.shape[1] == num_rays_chunk}
+
+                outs = jax.lax.map(render_one, (prep(center), prep(ray), prep(pts_light)))
+                return {k: v.swapaxes(0, 1).reshape(B, -1, v.shape[-1])[:, :total]
+                        for k, v in outs.items()}
+
+            self._render_image_light_cached = fn
+        return self._render_image_light_cached
