@@ -81,10 +81,11 @@ class NeuralSDF(nn.Module):
             compute_dtype=self.compute_dtype,
         )
 
-    def encode(self, points_3D, level_mask=None):
+    def encode(self, points_3D, level_mask=None, max_levels=None):
         cfg_enc = self.cfg_sdf.encoding
         if cfg_enc.type == "hashgrid":
-            feats = hashgrid.encode(self.table, points_3D, self.spec, level_mask=level_mask)
+            feats = hashgrid.encode(self.table, points_3D, self.spec,
+                                    level_mask=level_mask, max_levels=max_levels)
         else:
             feats = enc.positional_encoding(points_3D, cfg_enc.levels)
             if level_mask is not None:
@@ -93,13 +94,15 @@ class NeuralSDF(nn.Module):
                 feats = feats * mask
         return jnp.concatenate([points_3D, feats.astype(points_3D.dtype)], axis=-1)
 
-    def __call__(self, points_3D, level_mask=None, with_sdf=True, with_feat=True):
-        points_enc = self.encode(points_3D, level_mask=level_mask)
+    def __call__(self, points_3D, level_mask=None, with_sdf=True, with_feat=True,
+                 max_levels=None):
+        points_enc = self.encode(points_3D, level_mask=level_mask, max_levels=max_levels)
         sdf, feat = self.mlp(points_enc, with_sdf=with_sdf, with_feat=with_feat)
         return sdf, feat
 
-    def sdf(self, points_3D, level_mask=None):
-        return self(points_3D, level_mask=level_mask, with_sdf=True, with_feat=False)[0]
+    def sdf(self, points_3D, level_mask=None, max_levels=None):
+        return self(points_3D, level_mask=level_mask, with_sdf=True, with_feat=False,
+                    max_levels=max_levels)[0]
 
 
 def numerical_gradient_taps(taps: int, eps):

@@ -161,9 +161,14 @@ class Model(nn.Module):
         return jax.lax.stop_gradient(near), jax.lax.stop_gradient(far), outside
 
     def sdf_only(self, points, cond):
-        """SDF at points (no feature head) — used by sampling/tracing."""
+        """SDF at points (no feature head) — used by sampling/tracing.
+
+        ``cond['max_levels']`` (a static python int, when present) truncates
+        the hash levels actually gathered.
+        """
         return self.neural_sdf(points, level_mask=cond.get("level_mask"),
-                               with_sdf=True, with_feat=False)[0]
+                               with_sdf=True, with_feat=False,
+                               max_levels=cond.get("max_levels"))[0]
 
     def sphere_trace(self, center, ray_unit, near, far, cond, num_iters=20, dist_start=None):
         sdf_fn = lambda pts: jax.lax.stop_gradient(self.sdf_only(pts, cond))
@@ -176,9 +181,21 @@ class Model(nn.Module):
     # ------------------------------------------------------------------
 
     def sample_dists_all(self, center, ray_unit, near, far, cond, stratified, rng):
-        """Coarse + hierarchical NeuS importance sampling (no gradients)."""
+        """Coarse + hierarchical NeuS importance sampling (no gradients).
+
+        ``render.sampling_levels`` (optional int) evaluates the SDF for the
+        importance PDF with only the first K hash levels active — importance
+        sampling needs coarse geometry, not fine detail, and these throwaway
+        evaluations are a large share of the per-step hash-gather traffic on
+        TPU. Default: all levels (reference-exact behavior).
+        """
         cfgr = self.cfg_render
         num_hier = cfgr.num_sample_hierarchy
+        sampling_cond = cond
+        k_sampling = cfgr.get("sampling_levels")
+        if k_sampling and self.cfg_model.object.sdf.encoding.type == "hashgrid":
+            sampling_cond = dict(cond)
+            sampling_cond["max_levels"] = int(k_sampling)  # static truncation
         k_coarse = rng
         dists = samp.sample_dists(
             ray_unit.shape[:-1], (near[..., None], far[..., None]),
@@ -186,7 +203,7 @@ class Model(nn.Module):
         )
         if num_hier > 0:
             points = camera.get_3D_points_from_dist(center, ray_unit, dists)
-            sdfs = self.sdf_only(points, cond)[..., 0]  # [B,R,N]
+            sdfs = self.sdf_only(points, sampling_cond)[..., 0]  # [B,R,N]
         for h in range(num_hier):
             weights = samp.neus_pdf_weights(dists, sdfs, inv_s=64 * 2**h)
             dists_fine = samp.sample_dists_from_pdf(dists, weights, cfgr.num_samples.fine)
@@ -195,7 +212,7 @@ class Model(nn.Module):
             dists = jnp.take_along_axis(dists, sort_idx[..., None], axis=-2)
             if h != num_hier - 1:
                 points_fine = camera.get_3D_points_from_dist(center, ray_unit, dists_fine)
-                sdfs_fine = self.sdf_only(points_fine, cond)[..., 0]
+                sdfs_fine = self.sdf_only(points_fine, sampling_cond)[..., 0]
                 sdfs = jnp.concatenate([sdfs, sdfs_fine], axis=-1)
                 sdfs = jnp.take_along_axis(sdfs, sort_idx, axis=-1)
         return jax.lax.stop_gradient(dists)

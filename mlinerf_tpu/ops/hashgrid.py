@@ -120,7 +120,7 @@ def _corner_indices(spec: HashGridSpec):
     return corners
 
 
-def encode(table, points, spec: HashGridSpec, level_mask=None):
+def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None):
     """Encode 3D points into concatenated per-level features.
 
     TPU layout note: a single batched gather over all (level, corner) pairs
@@ -137,7 +137,11 @@ def encode(table, points, spec: HashGridSpec, level_mask=None):
         table: tuple of per-level [size_l, F] parameter tables.
         points: [..., 3] points in world units (normalized internally with
             ``spec.range_min/max``, as the reference does at modules.py:82-84).
-        level_mask: optional [L] float mask for coarse-to-fine annealing.
+        level_mask: optional [L] float mask for coarse-to-fine annealing
+            (traced; zeroes features without skipping work).
+        max_levels: optional STATIC level cap — levels beyond it are not
+            gathered at all and their features are zero (used for cheap
+            importance-sampling SDF evaluations).
     Returns:
         features [..., L*F].
     """
@@ -152,8 +156,9 @@ def encode(table, points, spec: HashGridSpec, level_mask=None):
     F = spec.features_per_level
     corners = jnp.asarray(_corner_indices(spec))  # [8,3]
 
+    active_levels = spec.num_levels if max_levels is None else min(int(max_levels), spec.num_levels)
     outs = []
-    for lv in range(spec.num_levels):
+    for lv in range(active_levels):
         res = float(resolutions[lv])
         pos = x01 * (res - 1.0)  # [P,3]
         cell = jnp.clip(jnp.floor(pos), 0.0, res - 2.0)
@@ -179,6 +184,8 @@ def encode(table, points, spec: HashGridSpec, level_mask=None):
         if level_mask is not None:
             out_l = out_l * level_mask[lv].astype(out_l.dtype)
         outs.append(out_l)
+    if active_levels < spec.num_levels:
+        outs.append(jnp.zeros(((spec.num_levels - active_levels) * F, P), outs[0].dtype))
     out = jnp.concatenate(outs, axis=0)  # [L*F, P]
     out = out.T  # [P, L*F]
     return out.reshape(*lead_shape, spec.num_levels * F)

@@ -46,6 +46,11 @@ def make_optimizer(cfg_optim, max_iter: int = None) -> Tuple[optax.GradientTrans
     if "eps" in params_cfg:
         kwargs["eps"] = params_cfg.pop("eps")
 
+    # Low-precision params (bf16 hash tables) keep fp32 first moments, the
+    # standard mixed-precision Adam arrangement (tcnn's fused Adam likewise
+    # keeps fp32 state over fp16 tables).
+    kwargs["mu_dtype"] = jnp.float32
+
     if name in ("adam", "fusedadam"):
         kwargs.pop("weight_decay", None)
         tx = optax.adam(lr_schedule, **kwargs)
@@ -53,10 +58,10 @@ def make_optimizer(cfg_optim, max_iter: int = None) -> Tuple[optax.GradientTrans
         tx = optax.adamw(lr_schedule, **kwargs)
     elif name in ("sgd", "fusedsgd"):
         momentum = params_cfg.pop("momentum", 0.0)
-        kwargs.pop("weight_decay", None)
         tx = optax.sgd(lr_schedule, momentum=momentum)
     elif name == "radam":
         kwargs.pop("weight_decay", None)
+        kwargs.pop("mu_dtype", None)
         tx = optax.radam(lr_schedule, **kwargs)
     else:
         raise NotImplementedError(f"Unknown optimizer {cfg_optim.type}")
