@@ -350,9 +350,11 @@ class BaseTrainer:
                 loss_fn, has_aux=True
             )(trainable0)
             updates, new_opt_state = self.tx.update(grads, state.opt_state, trainable0)
+            # Cast updates to the param dtype: fp32 optimizer math over bf16
+            # tables must not promote the stored parameters.
             new_trainable = jax.tree.map(
-                lambda p, u: p + u if p is not None else None, trainable0, updates,
-                is_leaf=lambda x: x is None,
+                lambda p, u: (p + u.astype(p.dtype)) if p is not None else None,
+                trainable0, updates, is_leaf=lambda x: x is None,
             )
             new_params = (
                 optim_lib.merge_params(new_trainable, frozen) if frozen is not None else new_trainable
