@@ -21,6 +21,11 @@ class Dataset:
     """Base dataset. Subclasses populate ``self.list`` (frame metadata) and
     implement get_image/get_camera (and get_light for multi-light data)."""
 
+    # File-backed datasets flip this: images come from 8-bit sources, so the
+    # device-resident copy stores uint8 (4x less HBM; decoded to fp32 by the
+    # on-device pixel gather in trainers.base.sample_batch).
+    images_uint8 = False
+
     def __init__(self, cfg, is_inference: bool = False, is_test: bool = False):
         self.cfg = cfg
         self.split = "test" if is_test else ("val" if is_inference else "train")
@@ -79,5 +84,8 @@ class Dataset:
                 continue
             vals = [np.asarray(s[key]) for s in samples]
             name = "images" if key == "image" else key
-            out[name] = np.stack(vals)
+            stacked = np.stack(vals)
+            if name == "images" and self.images_uint8 and stacked.dtype != np.uint8:
+                stacked = np.clip(stacked * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            out[name] = stacked
         return out

@@ -33,6 +33,7 @@ def invert_pose(c2w34: np.ndarray) -> np.ndarray:
 
 @register("dataset", "nerf_blender")
 class Dataset(BaseDataset):
+    images_uint8 = True
     def __init__(self, cfg, is_inference: bool = False, is_test: bool = False):
         super().__init__(cfg, is_inference=is_inference, is_test=is_test)
         cfg_data = cfg.data

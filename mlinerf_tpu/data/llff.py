@@ -32,6 +32,7 @@ def _average_pose(c2ws):
 
 @register("dataset", "nerf_llff")
 class Dataset(BaseDataset):
+    images_uint8 = True
     def __init__(self, cfg, is_inference: bool = False, is_test: bool = False):
         super().__init__(cfg, is_inference=is_inference, is_test=is_test)
         cfg_data = cfg.data

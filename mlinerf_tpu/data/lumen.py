@@ -24,6 +24,7 @@ from mlinerf_tpu.utils.image_io import load_image
 
 @register("dataset", "lumen")
 class Dataset(BaseDataset):
+    images_uint8 = True
     def __init__(self, cfg, is_inference: bool = False, is_test: bool = False):
         super().__init__(cfg, is_inference=is_inference, is_test=is_test)
         cfg_data = cfg.data
