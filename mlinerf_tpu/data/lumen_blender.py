@@ -8,7 +8,6 @@ alpha compositing, optional GT intrinsic decomposition images (Ref/Sha/Res),
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Dict
 

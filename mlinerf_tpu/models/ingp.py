@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from mlinerf_tpu.config import register

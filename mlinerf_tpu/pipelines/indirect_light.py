@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mlinerf_tpu.utils import camera, hemisphere, render
+from mlinerf_tpu.utils import camera, hemisphere
 
 
 def indirect_light_probe(trainer, data: Dict[str, np.ndarray], image_size,

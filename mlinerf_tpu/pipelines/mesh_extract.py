@@ -9,8 +9,6 @@ exported as PLY (optionally with vertex colors from the radiance field).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

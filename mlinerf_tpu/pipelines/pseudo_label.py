@@ -22,7 +22,6 @@ import math
 import os
 from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

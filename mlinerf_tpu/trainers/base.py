@@ -38,7 +38,7 @@ from mlinerf_tpu.config import StaticConfig, resolve
 from mlinerf_tpu.parallel import mesh as pmesh
 from mlinerf_tpu.trainers.checkpoint import Checkpointer, nonstrict_restore
 from mlinerf_tpu.trainers import optim as optim_lib
-from mlinerf_tpu.utils import camera, losses as loss_lib, misc, sampling as samp
+from mlinerf_tpu.utils import camera, sampling as samp
 
 
 @flax.struct.dataclass

@@ -7,7 +7,6 @@ Counterpart of ``projects/NeuralLumen/trainer.py``.
 
 from __future__ import annotations
 
-import copy
 import os
 from functools import partial
 from typing import Dict, Optional

@@ -5,8 +5,6 @@ Counterpart of ``projects/nerf/trainers/nerf.py``.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from mlinerf_tpu.config import register
 from mlinerf_tpu.trainers.base import BaseTrainer
 from mlinerf_tpu.utils import losses as loss_lib

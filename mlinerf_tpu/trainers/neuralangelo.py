@@ -11,7 +11,6 @@ computed INSIDE the jitted step from the iteration counter via
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from mlinerf_tpu.config import register
 from mlinerf_tpu.models.neuralangelo import make_cond

@@ -8,7 +8,6 @@ works under ``jit``/``vmap``/``grad`` without device-side control flow.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
