@@ -20,7 +20,9 @@ of NeuS rendering that traffic dominates the MLP cost. This kernel:
 
 Supported shape family: inputs [P, D_in], hidden layers of uniform width H
 (multiple of 128), ReLU or softplus-style activations between layers, linear
-final layer. Used by the SDF/RGB head MLPs when ``fused_mlp: true``.
+final layer. Standalone op for now — profiling showed the hash-grid
+gather/scatter, not the MLPs, dominate the train step on v5e (see PERF.md),
+so the model path keeps plain XLA matmuls until the encode is faster.
 """
 
 from __future__ import annotations

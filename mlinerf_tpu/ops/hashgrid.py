@@ -149,26 +149,43 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None):
     x = points.reshape(-1, 3).astype(jnp.float32)
     P = x.shape[0]
     x01 = (x - spec.range_min) / (spec.range_max - spec.range_min)  # [P,3]
+    # Split coordinates into [1,P] components IMMEDIATELY: every tensor from
+    # here on is [8,P] (corners in sublanes) or [F,P] — tile-perfect. Any
+    # [..., 3]-trailing intermediate would pad its 3-lane up to 128 (42x HBM
+    # amplification), which measurement showed dominating the encode cost.
+    xs = x01[:, 0][None]  # [1,P]
+    ys = x01[:, 1][None]
+    zs = x01[:, 2][None]
 
     resolutions = np.asarray(spec.resolutions, np.int64)
     table_sizes = np.asarray(spec.table_sizes, np.int64)
     dense = resolutions**3 <= table_sizes
     F = spec.features_per_level
-    corners = jnp.asarray(_corner_indices(spec))  # [8,3]
+    corners = _corner_indices(spec)  # numpy [8,3]
+    dxs = jnp.asarray(corners[:, 0:1])  # [8,1]
+    dys = jnp.asarray(corners[:, 1:2])
+    dzs = jnp.asarray(corners[:, 2:3])
 
     active_levels = spec.num_levels if max_levels is None else min(int(max_levels), spec.num_levels)
     outs = []
     for lv in range(active_levels):
         res = float(resolutions[lv])
-        pos = x01 * (res - 1.0)  # [P,3]
-        cell = jnp.clip(jnp.floor(pos), 0.0, res - 2.0)
-        frac = jnp.clip(pos - cell, 0.0, 1.0)
-        cidx = cell.astype(jnp.int32)[None, :, :] + corners[:, None, :]  # [8,P,3]
-        w = jnp.where(corners[:, None, :] == 1, frac[None], 1.0 - frac[None])  # [8,P,3]
-        weights = jnp.prod(w, axis=-1)  # [8,P]
-        ix = cidx[..., 0].astype(jnp.uint32)
-        iy = cidx[..., 1].astype(jnp.uint32)
-        iz = cidx[..., 2].astype(jnp.uint32)
+
+        def cell_frac(c01):
+            p = c01 * (res - 1.0)
+            cell = jnp.clip(jnp.floor(p), 0.0, res - 2.0)
+            return cell.astype(jnp.uint32), jnp.clip(p - cell, 0.0, 1.0)
+
+        cx, fx = cell_frac(xs)  # [1,P] each
+        cy, fy = cell_frac(ys)
+        cz, fz = cell_frac(zs)
+        ix = cx + dxs.astype(jnp.uint32)  # [8,P]
+        iy = cy + dys.astype(jnp.uint32)
+        iz = cz + dzs.astype(jnp.uint32)
+        wx = jnp.where(dxs == 1, fx, 1.0 - fx)  # [8,P]
+        wy = jnp.where(dys == 1, fy, 1.0 - fy)
+        wz = jnp.where(dzs == 1, fz, 1.0 - fz)
+        weights = wx * wy * wz  # [8,P]
         if dense[lv]:
             r = np.uint32(resolutions[lv])
             idx = ix + r * (iy + r * iz)
