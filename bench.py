@@ -80,18 +80,20 @@ def main():
     arrays = {k: jax.numpy.asarray(v) for k, v in Dataset(cfg).as_arrays().items()}
     Trainer = resolve("trainer", cfg.trainer.type)
     trainer = Trainer(cfg, logdir="/tmp/mlinerf_bench")
-    # Measure the production configuration: a scanned multi-step train loop
-    # dispatched as ONE XLA program. Timing forces completion with a host
-    # transfer of the scalar loss (block_until_ready does not synchronize on
-    # every PJRT transport, e.g. remote tunnels).
-    iters = int(os.environ.get("BENCH_ITERS", 20))
-    loop = trainer.build_train_loop(iters)
+    # Sequential async step chain with ONE final host sync: the data
+    # dependency between steps forces sequential device execution while
+    # per-dispatch latency overlaps. Timing must force completion with a
+    # host transfer — block_until_ready does not synchronize on every PJRT
+    # transport (e.g. remote tunnels).
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+    step = trainer.build_train_step()
     state = trainer.state
     rng = jax.random.PRNGKey(0)
-    state, info = loop(state, arrays, rng)  # compile + warm
+    state, info = step(state, arrays, rng)  # compile + warm
     float(jax.device_get(info["total"]))
     t0 = time.time()
-    state, info = loop(state, arrays, rng)
+    for _ in range(iters):
+        state, info = step(state, arrays, rng)
     float(jax.device_get(info["total"]))
     dt = (time.time() - t0) / iters
     rays_per_sec = cfg.model.render.rand_rays * cfg.data.train.batch_size / dt

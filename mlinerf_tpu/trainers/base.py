@@ -430,7 +430,16 @@ class BaseTrainer:
         cadence = math.gcd(*active) if active else max(max_iter - start_iter, 1)
         # Steps fused into one dispatched program. Default: the full cadence
         # window (device-resident data + in-step schedules make this safe).
-        spd = cfg.trainer.get("steps_per_dispatch") or min(cadence, 100)
+        spd = cfg.trainer.get("steps_per_dispatch")
+        if spd is None:
+            # Scanned multi-step windows are the default where dispatch
+            # latency matters and scan is well-tested (CPU/virtual meshes).
+            # On real TPU backends large scanned train programs have been
+            # observed to fault the worker at production model sizes, and a
+            # faulted worker cannot be recovered in-process (donated state is
+            # gone) — default to single-step dispatches there; opt in via
+            # trainer.steps_per_dispatch.
+            spd = min(cadence, 100) if jax.default_backend() == "cpu" else 1
         spd = max(int(spd), 1)
         loops = {}  # scan length -> jitted loop
 
