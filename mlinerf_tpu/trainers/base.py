@@ -177,7 +177,9 @@ class BaseTrainer:
 
         # EMA ----------------------------------------------------------------
         self.ema_enabled = cfg.trainer.ema_config.enabled
-        ema_params = jax.tree.map(lambda x: x, self.params) if self.ema_enabled else None
+        # Real copies: ema leaves must not alias param buffers (the train
+        # step donates the whole state — aliased leaves double-donate).
+        ema_params = jax.tree.map(jnp.copy, self.params) if self.ema_enabled else None
 
         self.state = TrainState(
             params=self.params,

@@ -1,0 +1,99 @@
+"""Coverage for less-traveled model configurations: analytical gradients,
+appearance embeddings, background NeRF, fourier SDF encoding, EMA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlinerf_tpu.config import resolve
+from tests.test_train_e2e import tiny_lumen_cfg
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """These tests build several full trainers in one process; the XLA CPU
+    runtime has been seen to fault when many large programs accumulate.
+    Clearing compilation caches between tests keeps the process stable."""
+    yield
+    jax.clear_caches()
+
+
+def test_analytical_gradients_match_numerical(tmp_path):
+    """On a smooth (fourier) SDF, analytical and small-eps numerical
+    gradients must agree."""
+    def make_cfg(mode):
+        # Fresh config per trainer: linen modules hold StaticConfig views of
+        # the live dict, so sharing one cfg across trainers would leak the
+        # later mutation into the earlier model.
+        cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=1)
+        cfg.model.object.sdf.encoding.type = "fourier"
+        cfg.model.object.sdf.encoding.levels = 3
+        cfg.model.object.sdf.encoding.coarse2fine.enabled = False
+        cfg.model.object.sdf.gradient.mode = mode
+        cfg.model.object.sdf.gradient.taps = 6
+        return cfg
+
+    cfg = make_cfg("analytical")
+    Dataset = resolve("dataset", cfg.data.type)
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr_a = Trainer(cfg, seed=0, logdir=str(tmp_path / "a"))
+    tr_n = Trainer(make_cfg("numerical"), seed=0, logdir=str(tmp_path / "n"))
+
+    pts = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 3)) * 0.3
+    cond_a = tr_a.make_cond(jnp.zeros((), jnp.int32))
+    cond_n = dict(tr_n.make_cond(jnp.zeros((), jnp.int32)))
+    cond_n["normal_eps"] = jnp.asarray(1e-3)
+
+    g_a, h_a = tr_a.model.apply({"params": tr_a.state.params}, pts, cond_a,
+                                training=True, method=tr_a.model.compute_gradients)
+    sdf = tr_n.model.apply({"params": tr_n.state.params}, pts, cond_n,
+                           method=tr_n.model.sdf_only)
+    g_n, h_n = tr_n.model.apply({"params": tr_n.state.params}, pts, cond_n,
+                                training=True, sdf=sdf, method=tr_n.model.compute_gradients)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_n), rtol=0.05, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_n), rtol=0.2, atol=0.5)
+
+
+def test_appearance_embedding_and_background(tmp_path):
+    """Train a couple of steps with appearance embeddings + light-conditioned
+    background NeRF on."""
+    cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=2)
+    cfg.model.appear_embed.enabled = True
+    cfg.model.appear_embed.dim = 4
+    cfg.model.background.enabled = True
+    cfg.model.background.white = False
+    cfg.model.object.rgb["network_mode"] = None
+    cfg.model.render.num_samples.background = 8
+    cfg.data["num_images"] = 8  # synthetic: 4 cams x 2 lights
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = Dataset(cfg).as_arrays()
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, logdir=str(tmp_path / "app"))
+    assert "appear_embed" in tr.state.params
+    assert "background_nerf" in tr.state.params
+    tr.train(arrays)
+    assert np.isfinite(tr.losses_host["render"])
+
+
+def test_ema_params_track_training(tmp_path):
+    cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=3)
+    cfg.trainer.ema_config.enabled = True
+    cfg.trainer.ema_config.beta = 0.5
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = Dataset(cfg).as_arrays()
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, logdir=str(tmp_path / "ema"))
+    init_leaves = jax.device_get(jax.tree.leaves(tr.state.ema_params))
+    tr.train(arrays)
+    ema_leaves = jax.device_get(jax.tree.leaves(tr.state.ema_params))
+    param_leaves = jax.device_get(jax.tree.leaves(tr.state.params))
+    moved = any(not np.array_equal(a, b) for a, b in zip(init_leaves, ema_leaves))
+    assert moved
+    # EMA must differ from raw params (it lags).
+    differs = any(not np.array_equal(a, b) for a, b in zip(ema_leaves, param_leaves))
+    assert differs
+    # eval_params returns the EMA tree when enabled.
+    ev = jax.device_get(jax.tree.leaves(tr.eval_params()))
+    for a, b in zip(ev, ema_leaves):
+        np.testing.assert_array_equal(a, b)
