@@ -21,6 +21,7 @@ from mlinerf_tpu.config import register
 from mlinerf_tpu.models.fields import BackgroundNeRF, LumenRGB
 from mlinerf_tpu.models.neuralangelo import Model as AngeloModel
 from mlinerf_tpu.utils import camera, geometry, render
+from mlinerf_tpu.utils import losses as loss_lib
 from mlinerf_tpu.utils import sampling as samp
 
 
@@ -170,7 +171,7 @@ class Model(AngeloModel):
         sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
         rays_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)
         gradients, hessians = self.compute_gradients(points, cond, training=train, sdf=sdfs)
-        normals = gradients / (jnp.linalg.norm(gradients, axis=-1, keepdims=True) + 1e-12)
+        normals = loss_lib.safe_normalize(gradients)
         pts_light_expand = jnp.broadcast_to(pts_light[..., None, :], points.shape)
         mode = self.rgb_network_mode
         heads = self.neural_rgb(points, normals, rays_unit, feats, pts_light_expand, app=app)
@@ -263,8 +264,8 @@ class Model(AngeloModel):
 
         light_loc = pts_light
         light_ray = inter_pts - light_loc
-        dists_light_inter = jnp.linalg.norm(light_ray, axis=-1, keepdims=True)
-        light_ray_unit = light_ray / (dists_light_inter + 1e-12)
+        dists_light_inter = loss_lib.safe_norm(light_ray, axis=-1, keepdims=True)
+        light_ray_unit = light_ray / dists_light_inter
 
         method = lv.type
         if method == "render_light_visibility":
@@ -286,7 +287,7 @@ class Model(AngeloModel):
             raise NotImplementedError(method)
 
         normal_ray = -render_output["gradient"]
-        normal_ray_unit = normal_ray / (jnp.linalg.norm(normal_ray, axis=-1, keepdims=True) + 1e-12)
+        normal_ray_unit = loss_lib.safe_normalize(normal_ray)
         normal_x_light = jnp.sum(normal_ray_unit * light_ray_unit, axis=-1, keepdims=True)
         normal_x_light = jax.nn.relu(normal_x_light)
         return visibility, normal_x_light, inter_dist, inter_mask

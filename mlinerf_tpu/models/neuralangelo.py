@@ -32,6 +32,7 @@ from mlinerf_tpu.models.fields import (
 )
 from mlinerf_tpu.ops import hashgrid
 from mlinerf_tpu.utils import camera, geometry, render
+from mlinerf_tpu.utils import losses as loss_lib
 from mlinerf_tpu.utils import sampling as samp
 
 
@@ -343,7 +344,7 @@ class Model(nn.Module):
         sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
         rays_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)
         gradients, hessians = self.compute_gradients(points, cond, training=train, sdf=sdfs)
-        normals = gradients / (jnp.linalg.norm(gradients, axis=-1, keepdims=True) + 1e-12)
+        normals = loss_lib.safe_normalize(gradients)
         rgbs = self.neural_rgb(points, normals, rays_unit, feats, app=app)
         alphas = self.compute_neus_alphas(
             ray_unit, sdfs, gradients, dists, dist_far=far[..., None], progress=cond["progress"]

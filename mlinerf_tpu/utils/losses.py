@@ -30,9 +30,23 @@ def _nan_to_num(x):
     return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
 
 
+def safe_norm(x, axis=-1, keepdims=False, eps=1e-12):
+    """L2 norm with well-defined (zero-ish) gradient at x == 0.
+
+    ``jnp.linalg.norm`` back-propagates NaN at exactly zero — torch defines a
+    zero subgradient there, and the reference's eikonal/normal math relies on
+    that (SDF gradients are exactly zero in constant/outside regions).
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
+def safe_normalize(x, axis=-1, eps=1e-12):
+    return x / safe_norm(x, axis=axis, keepdims=True, eps=eps)
+
+
 def eikonal_loss(gradients, outside=None):
     """(||grad sdf|| - 1)^2, masked to rays inside the bounding volume."""
-    err = (jnp.linalg.norm(gradients, axis=-1) - 1.0) ** 2  # [B,R,N]
+    err = (safe_norm(gradients, axis=-1) - 1.0) ** 2  # [B,R,N]
     err = _nan_to_num(err)
     if outside is not None:
         inside = (~outside).astype(err.dtype)
