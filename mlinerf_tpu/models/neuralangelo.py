@@ -256,16 +256,20 @@ class Model(nn.Module):
     def compute_gradients(self, points, cond, training: bool, sdf=None):
         mode = self.cfg_model.object.sdf.gradient.mode
         if mode == "analytical":
-            sdf_fn = lambda p: self.sdf_only(p, cond).sum()
+            # Rematerialize the field in every differentiation pass: the
+            # grad-of-grad pipeline otherwise stores gather outputs and
+            # scatter staging for each nesting level (observed 18+ GB HBM at
+            # production size).
+            sdf_fn = jax.checkpoint(lambda p: self.sdf_only(p, cond).sum())
             gradient = jax.grad(sdf_fn)(points)
             hessian = None
             if training:
                 # Diagonal of the Hessian via 3 HVPs.
+                grad_fn = jax.checkpoint(lambda p: jax.grad(sdf_fn)(p))
                 hs = []
                 for d in range(3):
                     tangent = jnp.zeros_like(points).at[..., d].set(1.0)
-                    _, hvp = jax.jvp(lambda p: jax.grad(lambda q: self.sdf_only(q, cond).sum())(p),
-                                     (points,), (tangent,))
+                    _, hvp = jax.jvp(grad_fn, (points,), (tangent,))
                     hs.append(hvp[..., d])
                 hessian = jnp.stack(hs, axis=-1)
             else:
