@@ -162,6 +162,18 @@ class Dataset(BaseDataset):
             out["pseudo_visibility_certainty"] = LumenDataset._to_hwc(np.stack(vis), 1)
         return out
 
+    def find_idx_cam_light(self, tag: str = "c00l00"):
+        """Frame index for a 'c{cam}l{light}' tag (ReNe-style lookup)."""
+        import re
+
+        digits = re.findall(r"\d+", tag)
+        cam_idx = int(digits[0]) if digits else None
+        light_idx = int(digits[-1]) if digits else None
+        for index, frame in enumerate(self.list):
+            if frame.get("camera_index") == cam_idx and frame.get("light_index") == light_idx:
+                return index
+        return None
+
     def get_light(self, idx: int) -> np.ndarray:
         """w2c pose of the light (rotation = identity, as with pl_pos lights)."""
         pl = self.list[idx]["pl_pos"]

@@ -39,6 +39,15 @@ def test_test_save(trained):
     assert any("_gt" in f for f in files)
 
 
+def test_test_images_tag(trained):
+    cfg, tr, val_ds, tmp_path = trained
+    out_dir = str(tmp_path / "tags")
+    inf.test_images(tr, val_ds, out_dir, setting_list=["c00l01"],
+                    image_size=cfg.data.val.image_size)
+    files = os.listdir(out_dir)
+    assert any(f.startswith("c00l01_rgb_map") for f in files), files
+
+
 def test_test_video(trained):
     cfg, tr, val_ds, tmp_path = trained
     out_dir = str(tmp_path / "video")
