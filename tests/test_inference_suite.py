@@ -42,10 +42,10 @@ def test_test_save(trained):
 def test_test_images_tag(trained):
     cfg, tr, val_ds, tmp_path = trained
     out_dir = str(tmp_path / "tags")
-    inf.test_images(tr, val_ds, out_dir, setting_list=["c00l01"],
+    inf.test_images(tr, val_ds, out_dir, setting_list=["c00l00"],
                     image_size=cfg.data.val.image_size)
     files = os.listdir(out_dir)
-    assert any(f.startswith("c00l01_rgb_map") for f in files), files
+    assert any(f.startswith("c00l00_rgb_map") for f in files), files
 
 
 def test_test_video(trained):
