@@ -42,7 +42,7 @@ def build_bench_cfg():
         "visibility_sphere_radius": 0.95,
     }
     cfg.model.render.rand_rays = 2048
-    cfg.model.render.rand_rays_val = 20000
+    cfg.model.render.rand_rays_val = 8192
     cfg.max_iter = 500000
     cfg.data.type = "synthetic"
     cfg.data.num_cameras = 8
