@@ -603,9 +603,34 @@ class BaseTrainer:
 
         return fn
 
+    def _use_fused_inference(self) -> bool:
+        """Fused (lax.map) full-image rendering — like the scanned train loop,
+        large control-flow-wrapped programs fault some TPU runtimes at
+        production model sizes; default to per-chunk dispatches there."""
+        forced = self.cfg.get("runtime", {}).get("fused_inference")
+        if forced is not None:
+            return bool(forced)
+        return jax.default_backend() == "cpu"
+
+    @functools.cached_property
+    def _render_chunk_jit(self):
+        @jax.jit
+        def fn(params, center, ray, cond_it, rng, pts_light=None):
+            cond = self.make_cond(cond_it)
+            kwargs = {"pts_light": pts_light} if pts_light is not None else {}
+            out = self.model.apply(
+                {"params": params}, center, ray, cond, rng=rng,
+                method=self.model.render_chunk, **kwargs,
+            )
+            return {k: v for k, v in out.items()
+                    if v is not None and hasattr(v, "ndim") and v.ndim == 3
+                    and v.shape[1] == center.shape[1]}
+
+        return fn
+
     def render_image(self, data: Dict[str, np.ndarray], image_size,
                      num_rays_chunk: Optional[int] = None) -> Dict[str, np.ndarray]:
-        """Render full images (single fused dispatch; see _render_image_jit)."""
+        """Render full images (fused dispatch on CPU; chunked on TPU)."""
         H, W = image_size
         num_rays_chunk = int(num_rays_chunk or self.num_val_rays())
         pose = jnp.asarray(data["pose"])
@@ -618,11 +643,25 @@ class BaseTrainer:
         num_rays_chunk = min(num_rays_chunk, H * W)
         params = self.eval_params()
         rng = jax.random.PRNGKey(0)
-        out = self._render_image_jit(
-            params, center, ray, jnp.asarray(self.current_iteration, jnp.int32), rng,
-            num_rays_chunk, pts_light=pts_light,
-        )
-        return jax.device_get(out)
+        it = jnp.asarray(self.current_iteration, jnp.int32)
+        if self._use_fused_inference():
+            out = self._render_image_jit(
+                params, center, ray, it, rng, num_rays_chunk, pts_light=pts_light,
+            )
+            return jax.device_get(out)
+        # Host chunk loop (one dispatch per fixed-size chunk).
+        total = H * W
+        chunks = []
+        for c0 in range(0, total, num_rays_chunk):
+            c1 = min(c0 + num_rays_chunk, total)
+            pad = num_rays_chunk - (c1 - c0)
+            sl = lambda x: jnp.pad(x[:, c0:c1], ((0, 0), (0, pad), (0, 0))) if pad else x[:, c0:c1]
+            out = self._render_chunk_jit(
+                params, sl(center), sl(ray), it, rng,
+                pts_light=sl(pts_light) if pts_light is not None else None,
+            )
+            chunks.append({k: np.asarray(v)[:, : c1 - c0] for k, v in jax.device_get(out).items()})
+        return {k: np.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]}
 
     def inference_outputs(self, data, image_size) -> Dict[str, np.ndarray]:
         """Full inference pass returning *_map images [B,H,W,C]."""

@@ -205,7 +205,8 @@ class Trainer(AngeloTrainer):
 
     def render_image_light(self, data, image_size, num_rays_chunk: Optional[int] = None):
         """Full-image render with the light-visibility branch forced on —
-        one fused dispatch (lax.map over chunks), like base.render_image."""
+        fused dispatch on CPU, per-chunk dispatches on TPU (see
+        BaseTrainer._use_fused_inference)."""
         from mlinerf_tpu.utils import camera as cam_util
 
         H, W = image_size
@@ -217,11 +218,40 @@ class Trainer(AngeloTrainer):
         pts_light = jnp.broadcast_to(light_center, ray.shape)
         params = self.eval_params()
         rng = jax.random.PRNGKey(0)
-        out = self._render_image_light_jit(
-            params, center, ray, jnp.asarray(self.current_iteration, jnp.int32), rng,
-            num_rays_chunk, pts_light,
-        )
-        return jax.device_get(out)
+        it = jnp.asarray(self.current_iteration, jnp.int32)
+        if self._use_fused_inference():
+            out = self._render_image_light_jit(
+                params, center, ray, it, rng, num_rays_chunk, pts_light,
+            )
+            return jax.device_get(out)
+        total = H * W
+        chunks = []
+        for c0 in range(0, total, num_rays_chunk):
+            c1 = min(c0 + num_rays_chunk, total)
+            pad = num_rays_chunk - (c1 - c0)
+            sl = lambda x: jnp.pad(x[:, c0:c1], ((0, 0), (0, pad), (0, 0))) if pad else x[:, c0:c1]
+            out = self._render_chunk_light_jit(
+                params, sl(center), sl(ray), it, rng, sl(pts_light)
+            )
+            chunks.append({k: np.asarray(v)[:, : c1 - c0] for k, v in jax.device_get(out).items()})
+        return {k: np.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]}
+
+    @property
+    def _render_chunk_light_jit(self):
+        if not hasattr(self, "_render_chunk_light_cached"):
+            @jax.jit
+            def fn(params, center, ray, cond_it, rng, pts_light):
+                cond = self.make_cond(cond_it)
+                out = self.model.apply(
+                    {"params": params}, center, ray, cond, pts_light=pts_light, rng=rng,
+                    with_light_visibility=True, method=self.model.render_chunk,
+                )
+                return {k: v for k, v in out.items()
+                        if v is not None and hasattr(v, "ndim") and v.ndim == 3
+                        and v.shape[1] == center.shape[1]}
+
+            self._render_chunk_light_cached = fn
+        return self._render_chunk_light_cached
 
     @property
     def _render_image_light_jit(self):
