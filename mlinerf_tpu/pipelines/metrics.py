@@ -290,10 +290,10 @@ def main():  # pragma: no cover - CLI
     parser.add_argument("--config", required=True)
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--components", default="rgb")
-    args = parser.parse_args()
+    args, cfg_cmd = parser.parse_known_args()
     from mlinerf_tpu.config import Config, resolve
 
-    cfg = Config(args.config)
+    cfg = Config(args.config, cli_args=cfg_cmd)
     for split in ("train", "val"):
         if "load_iid" in cfg.data.get(split, {}):
             cfg.data[split].load_iid = True
