@@ -99,6 +99,8 @@ class Model(nn.Module):
         dists = samp.sample_dists(
             ray_unit.shape[:-1], tuple(cfg.dist.range), cfg.sample_intvs, stratified, key=k_coarse
         )
+        if cfg.dist.get("param", "metric") == "inverse":
+            dists = 1.0 / (dists + 1e-8)
         dists = jax.lax.stop_gradient(dists)
         points = camera.get_3D_points_from_dist(center, ray_unit, dists)
         rays_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)

@@ -30,6 +30,7 @@ import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,6 +160,7 @@ class BaseTrainer:
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = self._init_params(init_rng)
+        self.params = self._apply_weight_init(self.params, cfg)
         num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
         print(f"[model] {cfg.model.type}: {num_params / 1e6:.2f}M parameters")
 
@@ -230,6 +232,41 @@ class BaseTrainer:
 
     def _needs_light(self) -> bool:
         return False
+
+    def _apply_weight_init(self, params, cfg):
+        """Global weight re-initialization by ``trainer.init.type``.
+
+        Counterpart of the reference's post-construction ``weights_init``
+        sweep over all Linear layers (imaginaire/models/utils/
+        init_weight.py:17-91). Applied only when a scheme is configured
+        (type != none) — geometric-init models ship with type none.
+        """
+        init_cfg = cfg.trainer.get("init", {}) or {}
+        itype = init_cfg.get("type") or "none"
+        if itype == "none":
+            return params
+        gain = init_cfg.get("gain") or 1.0
+        initializers = {
+            "normal": nn.initializers.normal(stddev=0.02 * gain),
+            "xavier": nn.initializers.variance_scaling(gain, "fan_avg", "truncated_normal"),
+            "xavier_uniform": nn.initializers.variance_scaling(gain, "fan_avg", "uniform"),
+            "kaiming": nn.initializers.variance_scaling(2.0 * gain, "fan_in", "normal"),
+            "orthogonal": nn.initializers.orthogonal(scale=gain),
+        }
+        if itype not in initializers:
+            raise NotImplementedError(f"Unknown init type {itype}")
+        init_fn = initializers[itype]
+        rng = jax.random.PRNGKey(self.seed + 9999)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        treedef = jax.tree_util.tree_structure(params)
+        leaves = []
+        for i, (path, leaf) in enumerate(flat):
+            names = "/".join(str(getattr(k, "key", k)) for k in path)
+            if names.endswith("kernel") and hasattr(leaf, "ndim") and leaf.ndim == 2:
+                leaves.append(init_fn(jax.random.fold_in(rng, i), leaf.shape, leaf.dtype))
+            else:
+                leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def init_losses(self, cfg):
         self.weights = {
