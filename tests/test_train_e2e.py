@@ -81,6 +81,26 @@ def test_nerf_learns(tmp_path):
     assert last["train/psnr"] > first["train/psnr"]
 
 
+def test_nerf_fine_sampling_learns(tmp_path):
+    """Coarse+fine hierarchical NeRF (the nerf_blender configuration shape)."""
+    cfg = tiny_nerf_cfg(tmp_path, max_iter=20)
+    cfg.model.fine_sampling = True
+    cfg.model.sample_intvs_fine = 16
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = Dataset(cfg).as_arrays()
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, logdir=str(tmp_path / "fine"))
+    tr.train(arrays)
+    assert "render_fine" in tr.losses_host
+    assert np.isfinite(tr.losses_host["render_fine"])
+    # inference returns fine maps
+    val_ds = Dataset(cfg, is_inference=True)
+    sample = val_ds[0]
+    data = {k: np.asarray(v)[None] for k, v in sample.items() if not np.isscalar(v)}
+    out = tr.render_image(data, cfg.data.val.image_size)
+    assert "rgb_fine" in out and "depth_fine" in out
+
+
 def test_nerf_validation_and_checkpoint_roundtrip(tmp_path):
     cfg = tiny_nerf_cfg(tmp_path, max_iter=10)
     Dataset = resolve("dataset", cfg.data.type)
