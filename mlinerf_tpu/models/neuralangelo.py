@@ -198,10 +198,24 @@ class Model(nn.Module):
             sampling_cond = dict(cond)
             sampling_cond["max_levels"] = int(k_sampling)  # static truncation
         k_coarse = rng
-        dists = samp.sample_dists(
-            ray_unit.shape[:-1], (near[..., None], far[..., None]),
-            cfgr.num_samples.coarse, stratified, key=k_coarse,
-        )
+        occ_cfg = cfgr.get("occupancy")
+        if occ_cfg and occ_cfg.get("enabled") and cond.get("occupancy_grid") is not None:
+            from mlinerf_tpu.ops import occupancy as occ_ops
+
+            hg = self.cfg_model.object.sdf.encoding.hashgrid
+            dists = occ_ops.occupancy_coarse_dists(
+                cond["occupancy_grid"], center, ray_unit, near, far,
+                cfgr.num_samples.coarse,
+                float(hg.range[0]), float(hg.range[1]),
+                march_bins=int(occ_cfg.get("march_bins", 128)),
+                floor=float(occ_cfg.get("floor", 0.02)),
+                stratified=stratified, key=k_coarse,
+            )
+        else:
+            dists = samp.sample_dists(
+                ray_unit.shape[:-1], (near[..., None], far[..., None]),
+                cfgr.num_samples.coarse, stratified, key=k_coarse,
+            )
         if num_hier > 0:
             points = camera.get_3D_points_from_dist(center, ray_unit, dists)
             sdfs = self.sdf_only(points, sampling_cond)[..., 0]  # [B,R,N]

@@ -366,6 +366,9 @@ class BaseTrainer:
             batch = self.sample_batch(arrays, k_batch)
             batch = pmesh.shard_rays_tree(self.mesh, batch, ray_axis_keys=("ray_idx",))
             cond = self.make_cond(it)
+            if "occupancy_grid" in arrays:
+                cond = dict(cond)
+                cond["occupancy_grid"] = arrays["occupancy_grid"]
             weights = self.loss_weights_at(it, cond)
 
             if partial_kw:
@@ -487,12 +490,43 @@ class BaseTrainer:
                 loops[n] = (self.build_train_step() if n == 1 else self.build_train_loop(n))
             return loops[n](state, arrays, rng)
 
+        # Occupancy grid maintenance (opt-in; see ops/occupancy.py). The grid
+        # rides into the step through `arrays`, refreshed from the SDF every
+        # `update_every` iterations with one cheap jitted field evaluation.
+        occ_cfg = (cfg.model.get("render") or {}).get("occupancy") if "render" in cfg.model else None
+        occ_enabled = bool(occ_cfg and occ_cfg.get("enabled"))
+        occ_update_fn = None
+        occ_last_update = None
+        if occ_enabled:
+            from mlinerf_tpu.ops import occupancy as occ_ops
+
+            res = int(occ_cfg.get("resolution", 64))
+            hg = cfg.model.object.sdf.encoding.hashgrid
+            rmin, rmax = float(hg.range[0]), float(hg.range[1])
+            coords = jnp.asarray(occ_ops.grid_coordinates(res, rmin, rmax))[None]
+            band = float(occ_cfg.get("band_cells", 3.0))
+
+            @jax.jit
+            def occ_update_fn(params, it):
+                cond = self.make_cond(it)
+                sdf = self.model.apply({"params": params}, coords, cond,
+                                       method=self.model.sdf_only)[0, :, 0]
+                return occ_ops.occupancy_from_sdf(sdf, res, rmin, rmax, band)
+
+            occ_every = int(occ_cfg.get("update_every", 256))
+
         info = None
         t_window = time.time()
         iters_in_window = 0
         self.watchdog.reset()
         it = start_iter
         while it < max_iter:
+            if occ_enabled and (occ_last_update is None or it - occ_last_update >= occ_every):
+                arrays["occupancy_grid"] = occ_update_fn(
+                    state.params, jnp.asarray(it, jnp.int32)
+                )
+                self._last_occupancy_grid = arrays["occupancy_grid"]
+                occ_last_update = it
             n = min(spd, max_iter - it)
             # Never step across a cadence boundary.
             to_boundary = cadence - (it % cadence)
