@@ -68,10 +68,17 @@ def occupancy_coarse_dists(grid, center, ray_unit, near, far, intvs: int,
     """
     # Fixed march bins spanning [near, far].
     t = (jnp.arange(march_bins, dtype=jnp.float32) + 0.5) / march_bins  # [M]
-    d = near[..., None] * (1 - t[None, None, :, None]) + far[..., None] * t[None, None, :, None]
-    # d: [B,Rr,M,1]
-    pts = center[..., None, :] + ray_unit[..., None, :] * d  # [B,Rr,M,3]
-    occ = lookup(grid, pts, range_min, range_max)  # [B,Rr,M]
+    d = near * (1 - t[None, None, :]) + far * t[None, None, :]  # [B,Rr,M]
+    # Component-wise lookup indices: materializing [B,Rr,M,3] march points
+    # would tile-pad the trailing 3 on TPU (see ops/hashgrid.py).
+    R = grid.shape[0]
+    scale = R / (range_max - range_min)
+    flat = jnp.zeros(d.shape, jnp.int32)
+    for c in range(3):
+        p_c = center[..., c : c + 1] + ray_unit[..., c : c + 1] * d  # [B,Rr,M]
+        i_c = jnp.clip(((p_c - range_min) * scale).astype(jnp.int32), 0, R - 1)
+        flat = flat * R + i_c
+    occ = jnp.take(grid.reshape(-1), flat.reshape(-1)).reshape(d.shape)
     weights = occ + floor
     # Bin edges for inverse-CDF: use the march-bin boundaries.
     te = jnp.arange(march_bins + 1, dtype=jnp.float32) / march_bins
