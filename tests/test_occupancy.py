@@ -122,6 +122,43 @@ def _tiny_occ_cfg(max_iter=6):
     return cfg
 
 
+def test_occupancy_gating_preserves_default_sampling(tmp_path):
+    """Disabled occupancy (or a missing grid) must leave coarse sampling
+    bitwise-identical to the reference-exact uniform path."""
+    cfg = _tiny_occ_cfg(max_iter=1)
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, seed=0, logdir=str(tmp_path / "gate"))
+    model, params = tr.model, tr.state.params
+    key = jax.random.PRNGKey(3)
+    center = jnp.zeros((1, 4, 3))
+    ray_unit = jnp.tile(jnp.asarray([[[0.0, 0.0, 1.0]]]), (1, 4, 1))
+    near = jnp.full((1, 4, 1), 0.5)
+    far = jnp.full((1, 4, 1), 2.5)
+    # hashgrid range is [-2,2] -> cell 0.25: occupied only for z in [0.5,1.0)
+    # so the ray segment [0.5,2.5] is 3/4 empty and placement must shift.
+    grid = jnp.zeros((16, 16, 16)).at[:, :, 10:12].set(1.0)
+
+    def sample(cond):
+        return model.apply({"params": params}, center, ray_unit, near, far,
+                           cond, False, key, method=model.sample_dists_all)
+
+    base_cond = dict(tr.make_cond(jnp.zeros((), jnp.int32)))
+    with_grid = dict(base_cond, occupancy_grid=grid)
+    d_occ = sample(with_grid)
+    # enabled + grid takes the occupancy branch (different placement)
+    assert not np.allclose(np.asarray(d_occ), np.asarray(sample(base_cond)))
+    # enabled but NO grid in cond -> uniform fallback
+    cfg2 = _tiny_occ_cfg(max_iter=1)
+    cfg2.model.render.occupancy.enabled = False
+    tr2 = resolve("trainer", cfg2.trainer.type)(cfg2, seed=0, logdir=str(tmp_path / "g2"))
+    d_disabled = tr2.model.apply(
+        {"params": tr2.state.params}, center, ray_unit, near, far,
+        dict(tr2.make_cond(jnp.zeros((), jnp.int32)), occupancy_grid=grid),
+        False, key, method=tr2.model.sample_dists_all)
+    # disabled + grid present -> identical to enabled-without-grid uniform path
+    np.testing.assert_array_equal(np.asarray(sample(base_cond)), np.asarray(d_disabled))
+
+
 def test_train_with_occupancy_enabled(tmp_path):
     cfg = _tiny_occ_cfg(max_iter=6)
     Dataset = resolve("dataset", cfg.data.type)
