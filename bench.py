@@ -62,9 +62,8 @@ def build_bench_cfg():
     return cfg
 
 
-def main():
+def measure(steps_per_dispatch: int) -> None:
     import jax
-    import numpy as np
 
     cfg = build_bench_cfg()
     # Allow quick local runs: BENCH_SMALL=1 shrinks the grid (CI/CPU).
@@ -80,29 +79,66 @@ def main():
     arrays = {k: jax.numpy.asarray(v) for k, v in Dataset(cfg).as_arrays().items()}
     Trainer = resolve("trainer", cfg.trainer.type)
     trainer = Trainer(cfg, logdir="/tmp/mlinerf_bench")
-    # Sequential async step chain with ONE final host sync: the data
-    # dependency between steps forces sequential device execution while
-    # per-dispatch latency overlaps. Timing must force completion with a
-    # host transfer — block_until_ready does not synchronize on every PJRT
-    # transport (e.g. remote tunnels).
+    # Timing must force completion with a host transfer — block_until_ready
+    # does not synchronize on every PJRT transport (e.g. remote tunnels).
+    # With steps_per_dispatch > 1 a whole window of steps is ONE lax.scan
+    # program (how production training runs, trainers/base.py); the data
+    # dependency between dispatches forces sequential device execution while
+    # the per-dispatch latency overlaps.
     iters = int(os.environ.get("BENCH_ITERS", 5))
-    step = trainer.build_train_step()
+    if steps_per_dispatch > 1:
+        run = trainer.build_train_loop(steps_per_dispatch)
+    else:
+        run = trainer.build_train_step()
     state = trainer.state
     rng = jax.random.PRNGKey(0)
-    state, info = step(state, arrays, rng)  # compile + warm
+    state, info = run(state, arrays, rng)  # compile + warm
     float(jax.device_get(info["total"]))
     t0 = time.time()
     for _ in range(iters):
-        state, info = step(state, arrays, rng)
+        state, info = run(state, arrays, rng)
     float(jax.device_get(info["total"]))
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / (iters * steps_per_dispatch)
     rays_per_sec = cfg.model.render.rand_rays * cfg.data.train.batch_size / dt
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "steps_per_dispatch": steps_per_dispatch,
     }))
+
+
+def main():
+    """Measure fused-window throughput, falling back to single-step.
+
+    The fused measurement runs in a CHILD process: a TPU worker fault
+    (observed once at this scale early in development) poisons the client
+    process, so the fallback must start from a clean one. The child's JSON
+    line is re-printed verbatim on success.
+    """
+    if os.environ.get("BENCH_AS_CHILD"):
+        measure(int(os.environ["BENCH_AS_CHILD"]))
+        return
+    spd = int(os.environ.get("BENCH_SPD", 5))
+    if spd > 1:
+        import subprocess
+        import sys
+
+        env = dict(os.environ, BENCH_AS_CHILD=str(spd))
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=float(os.environ.get("BENCH_TIMEOUT", 3000)))
+            for line in reversed((r.stdout or "").strip().splitlines()):
+                if line.startswith("{"):
+                    print(line)
+                    return
+            sys.stderr.write(f"[bench] fused child failed (rc={r.returncode}); "
+                             f"falling back to single-step\n{(r.stderr or '')[-2000:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("[bench] fused child timed out; falling back\n")
+    measure(1)
 
 
 if __name__ == "__main__":
