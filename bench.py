@@ -59,6 +59,11 @@ def build_bench_cfg():
     cfg.checkpoint.save_iter = 10**12
     cfg.checkpoint.save_latest_iter = 10**12
     cfg.timeout_period = 9999999
+    # Perf-variant knobs (each bench process measures ONE variant; PERF.md
+    # documents why cross-variant comparisons need fresh processes).
+    shared = int(os.environ.get("BENCH_SHARED_LEVELS", 0))
+    if shared:
+        cfg.model.object.sdf.gradient.shared_levels = shared
     return cfg
 
 

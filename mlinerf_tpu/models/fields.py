@@ -104,6 +104,37 @@ class NeuralSDF(nn.Module):
         return self(points_3D, level_mask=level_mask, with_sdf=True, with_feat=False,
                     max_levels=max_levels)[0]
 
+    def stencil(self, points_3D, offsets, level_mask=None, shared_levels=0,
+                max_levels=None):
+        """Evaluate SDF at center + tap points with shared coarse-level gathers.
+
+        Fuses the center evaluation (SDF + feature head) and the ``T``
+        numerical-gradient tap evaluations (SDF only) into one encoder pass:
+        levels below ``shared_levels`` gather their 8 cell corners ONCE for
+        all 1+T points (see ops/hashgrid.encode_stencil — this collapses the
+        scatter-add rows that dominate the TPU step). Exact for taps that stay
+        within the center's cell at a shared level; linear extrapolation of
+        the cell patch otherwise.
+
+        Returns:
+            (sdf_center [..., 1], feat_center [..., W], sdf_taps [..., T])
+        """
+        cfg_enc = self.cfg_sdf.encoding
+        if cfg_enc.type != "hashgrid":
+            raise NotImplementedError("stencil sharing requires the hashgrid encoder")
+        feats = hashgrid.encode_stencil(
+            self.table, points_3D, offsets, self.spec, level_mask=level_mask,
+            shared_levels=shared_levels, max_levels=max_levels,
+        )  # [..., 1+T, L*F]
+        offs_all = jnp.concatenate(
+            [jnp.zeros((1, 3), jnp.float32), offsets.astype(jnp.float32)], axis=0
+        )
+        pts_all = points_3D[..., None, :] + offs_all  # [..., 1+T, 3]
+        enc_all = jnp.concatenate([pts_all, feats.astype(pts_all.dtype)], axis=-1)
+        sdf_center, feat_center = self.mlp(enc_all[..., 0, :], with_sdf=True, with_feat=True)
+        sdf_taps, _ = self.mlp(enc_all[..., 1:, :], with_sdf=True, with_feat=False)
+        return sdf_center, feat_center, sdf_taps[..., 0]
+
 
 def numerical_gradient_taps(taps: int, eps):
     """Static tap offset matrix [taps, 3] scaled by eps (traced scalar ok).

@@ -167,10 +167,10 @@ class Model(AngeloModel):
                                  app, cond, stratified, rng, train: bool):
         dists = self.sample_dists_all(center, ray_unit, near, far, cond, stratified, rng)
         points = camera.get_3D_points_from_dist(center, ray_unit, dists)
-        sdfs, feats = self.neural_sdf(points, level_mask=cond.get("level_mask"))
-        sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
+        sdfs, feats, gradients, hessians = self.eval_field_with_gradients(
+            points, outside, cond, train
+        )
         rays_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)
-        gradients, hessians = self.compute_gradients(points, cond, training=train, sdf=sdfs)
         normals = loss_lib.safe_normalize(gradients)
         pts_light_expand = jnp.broadcast_to(pts_light[..., None, :], points.shape)
         mode = self.rgb_network_mode
@@ -301,9 +301,9 @@ class Model(AngeloModel):
         tol = int(lv.get("sample_tolerance", 4))
         dists = self.sample_dists_all(center, ray_unit, near, far, cond, stratified, rng)
         points = camera.get_3D_points_from_dist(center, ray_unit, dists)
-        sdfs, _ = self.neural_sdf(points, level_mask=cond.get("level_mask"))
-        sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
-        gradients, _ = self.compute_gradients(points, cond, training=False, sdf=sdfs)
+        sdfs, _, gradients, _ = self.eval_field_with_gradients(
+            points, outside, cond, train=False
+        )
         alphas = self.compute_neus_alphas(
             ray_unit, sdfs, gradients, dists, dist_far=far[..., None], progress=cond["progress"]
         )

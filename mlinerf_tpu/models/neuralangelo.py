@@ -297,6 +297,39 @@ class Model(nn.Module):
         sdf_taps = self.sdf_only(pts_tap, cond)[..., 0]  # [...,T]
         return numerical_gradients(sdf_taps, sdf, taps, eps, training)
 
+    def eval_field_with_gradients(self, points, outside, cond, train: bool):
+        """Center SDF + feature head + SDF gradients, in one encoder pass when
+        possible.
+
+        With ``object.sdf.gradient.shared_levels > 0`` (numerical mode,
+        hashgrid encoding) the center and the gradient-tap evaluations run as
+        one fused stencil whose coarse levels share their corner gathers —
+        the scatter-add row reduction that dominates TPU step time (PERF.md).
+        Otherwise this is exactly the reference's two-call structure.
+
+        Returns (sdfs [...,1], feats [...,W], gradients [...,3], hessians).
+        """
+        grad_cfg = self.cfg_model.object.sdf.gradient
+        shared = int(grad_cfg.get("shared_levels") or 0)
+        if (
+            grad_cfg.mode != "analytical"
+            and shared > 0
+            and self.cfg_model.object.sdf.encoding.type == "hashgrid"
+        ):
+            taps = grad_cfg.taps
+            eps = cond["normal_eps"]
+            offsets = numerical_gradient_taps(taps, eps)  # [T,3]
+            sdfs, feats, sdf_taps = self.neural_sdf.stencil(
+                points, offsets, level_mask=cond.get("level_mask"), shared_levels=shared
+            )
+            sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
+            gradients, hessians = numerical_gradients(sdf_taps, sdfs, taps, eps, train)
+        else:
+            sdfs, feats = self.neural_sdf(points, level_mask=cond.get("level_mask"))
+            sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
+            gradients, hessians = self.compute_gradients(points, cond, training=train, sdf=sdfs)
+        return sdfs, feats, gradients, hessians
+
     # ------------------------------------------------------------------
     # Rendering
     # ------------------------------------------------------------------
@@ -358,10 +391,10 @@ class Model(nn.Module):
                            stratified, rng, train: bool):
         dists = self.sample_dists_all(center, ray_unit, near, far, cond, stratified, rng)
         points = camera.get_3D_points_from_dist(center, ray_unit, dists)
-        sdfs, feats = self.neural_sdf(points, level_mask=cond.get("level_mask"))
-        sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
+        sdfs, feats, gradients, hessians = self.eval_field_with_gradients(
+            points, outside, cond, train
+        )
         rays_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)
-        gradients, hessians = self.compute_gradients(points, cond, training=train, sdf=sdfs)
         normals = loss_lib.safe_normalize(gradients)
         rgbs = self.neural_rgb(points, normals, rays_unit, feats, app=app)
         alphas = self.compute_neus_alphas(

@@ -208,6 +208,156 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None):
     return out.reshape(*lead_shape, spec.num_levels * F)
 
 
+def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
+                   shared_levels: int = 0, max_levels=None):
+    """Encode a stencil of points (center + taps) with shared corner gathers.
+
+    The numerical-gradient path (reference
+    projects/neuralangelo/utils/modules.py:115-178) evaluates the SDF field at
+    the center point and ``T`` tap points offset by ``eps`` (~ one cell of the
+    finest ACTIVE level). At every level coarser than the tap spacing the taps
+    land in the SAME grid cell as the center, so the 8 corner rows the encoder
+    needs are identical for all ``1+T`` evaluations. This function gathers
+    those 8 rows ONCE per shared level and combines them with each
+    evaluation's own trilinear weights:
+
+      * forward: (1+T)x fewer gather rows at shared levels;
+      * backward: JAX's gather VJP emits ONE scatter-add per shared level with
+        the summed cotangents instead of 1+T — the dominant cost of the TPU
+        training step (scatter-add has no fast path on v5e; see PERF.md).
+
+    Semantics at shared levels: each evaluation's features are the trilinear
+    combination of the CENTER's cell corners with weights from that
+    evaluation's (unclamped) cell-relative position. For taps inside the cell
+    this is bit-exact with `encode`. A tap that crosses a cell face gets the
+    linear extrapolation of the center cell's patch — i.e. the finite
+    difference recovers the exact in-cell analytic derivative of the
+    interpolant rather than a cross-cell secant. Levels >= ``shared_levels``
+    use the exact per-evaluation path (identical to `encode`).
+
+    Args:
+        table: tuple of per-level [size_l, F] tables.
+        points: [..., 3] center points (world units).
+        offsets: [T, 3] tap offsets in world units (traced values fine).
+        shared_levels: STATIC number of coarse levels using the shared-cell
+            fast path. 0 = everything exact (still one fused program).
+    Returns:
+        features [..., 1+T, L*F]; index 0 along the stencil axis is the
+        center, 1..T are the taps (matching ``points[..., None, :] + offsets``).
+    """
+    lead_shape = points.shape[:-1]
+    x = points.reshape(-1, 3).astype(jnp.float32)
+    P = x.shape[0]
+    T = offsets.shape[0]
+    E = T + 1
+    extent = spec.range_max - spec.range_min
+    x01 = (x - spec.range_min) / extent  # [P,3]
+    off01 = offsets.astype(jnp.float32) / extent  # [T,3]
+    # Stencil-axis offset table with the center prepended. Kept as [E] scalars
+    # per axis inside the level loop — every big tensor stays [8,P]/[F,P].
+    offs = jnp.concatenate([jnp.zeros((1, 3), jnp.float32), off01], axis=0)  # [E,3]
+
+    xs = x01[:, 0][None]  # [1,P]
+    ys = x01[:, 1][None]
+    zs = x01[:, 2][None]
+
+    resolutions = np.asarray(spec.resolutions, np.int64)
+    table_sizes = np.asarray(spec.table_sizes, np.int64)
+    dense = resolutions**3 <= table_sizes
+    F = spec.features_per_level
+    corners = _corner_indices(spec)
+    dxs = jnp.asarray(corners[:, 0:1])  # [8,1]
+    dys = jnp.asarray(corners[:, 1:2])
+    dzs = jnp.asarray(corners[:, 2:3])
+
+    active_levels = spec.num_levels if max_levels is None else min(int(max_levels), spec.num_levels)
+    shared = min(int(shared_levels), active_levels)
+    outs = [[] for _ in range(E)]  # per-eval list of [F,P] level features
+
+    def level_index(ix, iy, iz, lv):
+        if dense[lv]:
+            r = np.uint32(resolutions[lv])
+            idx = ix + r * (iy + r * iz)
+        else:
+            idx = (
+                ix * np.uint32(_PRIMES[0])
+                ^ iy * np.uint32(_PRIMES[1])
+                ^ iz * np.uint32(_PRIMES[2])
+            ) % np.uint32(table_sizes[lv])
+        return idx.astype(jnp.int32)
+
+    for lv in range(active_levels):
+        res = float(resolutions[lv])
+        mask_l = None if level_mask is None else level_mask[lv]
+
+        if lv < shared:
+            # --- shared-cell path: one gather serves all E evaluations ---
+            def cell_frac(c01):
+                p = c01 * (res - 1.0)
+                cell = jnp.clip(jnp.floor(p), 0.0, res - 2.0)
+                # Center frac clamped exactly like `encode`; taps offset from
+                # the clamped value (keeps the center evaluation bit-exact).
+                return cell.astype(jnp.uint32), jnp.clip(p - cell, 0.0, 1.0)
+
+            cx, fx = cell_frac(xs)  # [1,P] each (center)
+            cy, fy = cell_frac(ys)
+            cz, fz = cell_frac(zs)
+            ix = cx + dxs.astype(jnp.uint32)  # [8,P]
+            iy = cy + dys.astype(jnp.uint32)
+            iz = cz + dzs.astype(jnp.uint32)
+            idx = level_index(ix, iy, iz, lv)
+            feats = jnp.take(table[lv], idx.reshape(-1), axis=0).reshape(8, P, F)
+            for e in range(E):
+                # Per-eval cell-relative position; NOT clamped to [0,1] —
+                # out-of-cell taps linearly extrapolate the center patch.
+                fex = fx + offs[e, 0] * (res - 1.0)  # [1,P]
+                fey = fy + offs[e, 1] * (res - 1.0)
+                fez = fz + offs[e, 2] * (res - 1.0)
+                wx = jnp.where(dxs == 1, fex, 1.0 - fex)  # [8,P]
+                wy = jnp.where(dys == 1, fey, 1.0 - fey)
+                wz = jnp.where(dzs == 1, fez, 1.0 - fez)
+                weights = wx * wy * wz
+                out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))
+                if mask_l is not None:
+                    out_l = out_l * mask_l.astype(out_l.dtype)
+                outs[e].append(out_l)
+        else:
+            # --- exact path: per-eval cell + gather (same math as `encode`) ---
+            for e in range(E):
+                def cell_frac_e(c01, axis):
+                    p = (c01 + offs[e, axis]) * (res - 1.0)
+                    cell = jnp.clip(jnp.floor(p), 0.0, res - 2.0)
+                    return cell.astype(jnp.uint32), jnp.clip(p - cell, 0.0, 1.0)
+
+                cx, fex = cell_frac_e(xs, 0)
+                cy, fey = cell_frac_e(ys, 1)
+                cz, fez = cell_frac_e(zs, 2)
+                ix = cx + dxs.astype(jnp.uint32)
+                iy = cy + dys.astype(jnp.uint32)
+                iz = cz + dzs.astype(jnp.uint32)
+                idx = level_index(ix, iy, iz, lv)
+                feats = jnp.take(table[lv], idx.reshape(-1), axis=0).reshape(8, P, F)
+                wx = jnp.where(dxs == 1, fex, 1.0 - fex)
+                wy = jnp.where(dys == 1, fey, 1.0 - fey)
+                wz = jnp.where(dzs == 1, fez, 1.0 - fez)
+                weights = wx * wy * wz
+                out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))
+                if mask_l is not None:
+                    out_l = out_l * mask_l.astype(out_l.dtype)
+                outs[e].append(out_l)
+
+    pad_levels = spec.num_levels - active_levels
+    per_eval = []
+    for e in range(E):
+        cols = outs[e]
+        if pad_levels:
+            cols = cols + [jnp.zeros((pad_levels * F, P), cols[0].dtype)]
+        per_eval.append(jnp.concatenate(cols, axis=0))  # [L*F, P]
+    out = jnp.stack(per_eval, axis=0)  # [E, L*F, P]
+    out = jnp.transpose(out, (2, 0, 1))  # [P, E, L*F]
+    return out.reshape(*lead_shape, E, spec.num_levels * F)
+
+
 def active_levels_to_mask(active_levels, num_levels: int):
     """[L] float mask with ones on the first `active_levels` levels.
 

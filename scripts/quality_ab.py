@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Small-scale quality A/B harness on the procedural synthetic scene (CPU).
+
+Trains the stage-a Lumen model for a few hundred iterations per variant and
+prints the validation PSNR, isolating the quality effect of one config knob
+at a time (the occupancy and shared-tap studies in docs/round1_evidence used
+this workload). Variants are chosen with AB_STUDY:
+
+  shared  — gradient.shared_levels 0 / half / all (the stencil fast path)
+  occ     — occupancy off/on at shrinking coarse budgets
+
+Env: AB_ITERS (default 300), AB_STUDY (default shared).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def base_cfg(tmp, iters):
+    from mlinerf_tpu.config import Config
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config(os.path.join(here, "configs", "syn_sphere_a.yaml"))
+    cfg.max_iter = iters
+    cfg.logging_iter = iters
+    cfg.validation_iter = 10**9
+    cfg.checkpoint.save_iter = 10**9
+    cfg.checkpoint.save_latest_iter = 10**9
+    cfg.model.render.rand_rays = 256
+    cfg.model.render.rand_rays_val = 2048
+    cfg.data.train.image_size = [64, 64]
+    cfg.data.val.image_size = [64, 64]
+    cfg.data.num_cameras = 6
+    cfg.data.num_lights = 2
+    return cfg
+
+
+def run_variant(name, mutate, iters):
+    import numpy as np
+
+    from mlinerf_tpu.config import resolve
+
+    tmp = f"/tmp/quality_ab/{name.replace(' ', '_')}"
+    os.makedirs(tmp, exist_ok=True)
+    cfg = base_cfg(tmp, iters)
+    mutate(cfg)
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = Dataset(cfg).as_arrays()
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, seed=0, logdir=tmp)
+    print(f"=== {name} ===", flush=True)
+    tr.train(arrays)
+    val_ds = Dataset(cfg, is_inference=True)
+    psnr = tr.validate(val_ds, cfg.max_iter, max_samples=3)
+    jax.clear_caches()
+    return psnr
+
+
+def main():
+    iters = int(os.environ.get("AB_ITERS", 300))
+    study = os.environ.get("AB_STUDY", "shared")
+    if study == "shared":
+        levels = None
+
+        def set_shared(n):
+            def f(cfg):
+                cfg.model.object.sdf.gradient.shared_levels = n
+            return f
+
+        # syn_sphere_a uses a smaller level count; read it from the config.
+        probe = base_cfg("/tmp/quality_ab", iters)
+        L = probe.model.object.sdf.encoding.levels
+        variants = [
+            ("shared=0 (exact)", set_shared(0)),
+            (f"shared={L // 2}", set_shared(L // 2)),
+            (f"shared={L} (all)", set_shared(L)),
+        ]
+    elif study == "occ":
+        def set_occ(enabled, coarse, hier):
+            def f(cfg):
+                cfg.model.render.occupancy.enabled = enabled
+                cfg.model.render.num_samples.coarse = coarse
+                cfg.model.render.num_sample_hierarchy = hier
+            return f
+
+        variants = [
+            ("uniform coarse=16", set_occ(False, 16, 2)),
+            ("occ coarse=8", set_occ(True, 8, 2)),
+            ("occ coarse=4", set_occ(True, 4, 2)),
+        ]
+    else:
+        raise SystemExit(f"unknown AB_STUDY={study}")
+
+    for name, mutate in variants:
+        run_variant(name, mutate, iters)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
