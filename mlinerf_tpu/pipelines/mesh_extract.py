@@ -96,6 +96,8 @@ def extract_mesh(
         keep = np.linalg.norm(centers, axis=-1) <= 1.0
         soup = soup[keep]
     verts, faces = mesh_ops.weld_vertices(soup)
+    if filter_lcc and len(faces):
+        verts, faces = filter_largest_cc(verts, faces)
     # Undo dataset normalization: world = v * radius + center.
     verts_world = verts * sphere_radius + np.asarray(sphere_center, np.float32)
     colors = None
@@ -105,16 +107,69 @@ def extract_mesh(
     return verts_world, faces, colors
 
 
+def filter_largest_cc(verts, faces):
+    """Keep only the connected component with the largest surface area.
+
+    Counterpart of the reference's ``filter_largest_cc`` (trimesh
+    ``mesh.split`` + area argmax, projects/neuralangelo/utils/mesh.py:151-158)
+    without the trimesh dependency: union-find over vertices joined by faces,
+    per-component triangle-area sums, then vertex/face reindexing.
+    """
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    parent = np.arange(len(verts))
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b, c in faces:
+        ra, rb, rc = find(a), find(b), find(c)
+        parent[rb] = ra
+        parent[rc] = ra
+    roots = np.fromiter((find(i) for i in range(len(verts))), np.int64, len(verts))
+
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    face_root = roots[faces[:, 0]]
+    area_by_root = np.zeros(len(verts))
+    np.add.at(area_by_root, face_root, areas)
+    best = int(np.argmax(area_by_root))
+
+    keep_v = roots == best
+    new_index = np.full(len(verts), -1, np.int64)
+    new_index[keep_v] = np.arange(int(keep_v.sum()))
+    keep_f = keep_v[faces[:, 0]]
+    return verts[keep_v], new_index[faces[keep_f]]
+
+
 def trainer_texture_fn(trainer):
     """Jitted [N,3]->[N,3] RGB probe for vertex colors.
 
     Views each vertex head-on (ray = -normal, like the reference's
     ``extract_texture``, mesh.py:119-158); for light-conditioned models the
-    light sits at the camera (headlight).
+    light sits at the camera (headlight, one unit along the normal).
+
+    Submodules like ``neural_sdf``/``neural_rgb`` are setup-scoped linen
+    attributes, so each probe runs as an ``apply`` method closure over the
+    bound module.
     """
+    from mlinerf_tpu.models import lumen as lumen_models
+
     cond = trainer.make_cond(jnp.asarray(trainer.current_iteration, jnp.int32))
     params = trainer.eval_params()
     model = trainer.model
+    cfg_model = model.cfg_model
+    is_lumen = isinstance(model, lumen_models.Model)
+    # With appearance embeddings on, the reference probes with a ZERO
+    # embedding (extract_texture, mesh.py:59-63) — the head input dim
+    # requires it.
+    app_dim = cfg_model.appear_embed.dim if cfg_model.appear_embed.enabled else 0
 
     @jax.jit
     def fn(pts):
@@ -123,15 +178,18 @@ def trainer_texture_fn(trainer):
         def apply(method, *a, **kw):
             return model.apply({"params": params}, *a, method=method, **kw)
 
-        sdfs, feats = apply(model.neural_sdf, p, cond.get("level_mask"))
+        sdfs, feats = apply(lambda m, x, lm: m.neural_sdf(x, lm),
+                            p, cond.get("level_mask"))
         gradients, _ = apply(model.compute_gradients, p, cond, training=False, sdf=sdfs)
         normals = gradients / (jnp.linalg.norm(gradients, axis=-1, keepdims=True) + 1e-12)
         rays = -normals
-        if hasattr(model, "rgb_network_mode"):
-            heads = apply(model.neural_rgb, p, normals, rays, feats, rays, app=None)
+        app = jnp.zeros(p.shape[:-1] + (app_dim,)) if app_dim else None
+        rgb_probe = lambda m, *a, **kw: m.neural_rgb(*a, **kw)
+        if is_lumen:
+            heads = apply(rgb_probe, p, normals, rays, feats, p + normals, app=app)
             rgb = heads[0] if isinstance(heads, tuple) else heads
         else:
-            rgb = apply(model.neural_rgb, p, normals, rays, feats, app=None)
+            rgb = apply(rgb_probe, p, normals, rays, feats, app=app)
         return rgb[0]
 
     return fn

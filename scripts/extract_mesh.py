@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--resolution", type=int, default=256)
     parser.add_argument("--block_res", type=int, default=128)
     parser.add_argument("--textured", action="store_true")
+    parser.add_argument("--keep_lcc", action="store_true",
+                        help="keep only the largest connected component "
+                             "(the reference's filter_lcc)")
     args, cfg_cmd = parser.parse_known_args()
 
     from mlinerf_tpu.config import Config, resolve
@@ -55,6 +58,7 @@ def main():
     verts, faces, colors = mesh_extract.extract_mesh(
         sdf_fn, bounds_min, bounds_max, resolution=args.resolution,
         block_res=args.block_res, texture_fn=texture_fn,
+        filter_lcc=args.keep_lcc,
     )
     out = args.output_file or os.path.join(base_logdir, "mesh.ply")
     mesh_ops.save_ply(out, verts, faces, colors)

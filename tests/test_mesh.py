@@ -62,3 +62,38 @@ def test_extract_mesh_pipeline_analytic_sdf():
     np.testing.assert_allclose(r.mean(), 1.0, atol=0.02)
     # Seamless across blocks: every face edge has finite extent
     assert np.isfinite(verts).all()
+
+
+def test_filter_largest_cc():
+    """Union-find LCC filter keeps the larger-area component only
+    (reference filter_largest_cc, mesh.py:151-158)."""
+    # Two disjoint triangles: one big, one small.
+    verts = np.asarray([
+        [0, 0, 0], [2, 0, 0], [0, 2, 0],          # area 2.0
+        [5, 5, 5], [5.1, 5, 5], [5, 5.1, 5],      # area 0.005
+    ], np.float32)
+    faces = np.asarray([[0, 1, 2], [3, 4, 5]])
+    v2, f2 = mesh_extract.filter_largest_cc(verts, faces)
+    assert len(v2) == 3 and len(f2) == 1
+    np.testing.assert_array_equal(v2, verts[:3])
+    np.testing.assert_array_equal(f2, [[0, 1, 2]])
+
+
+def test_filter_largest_cc_two_sphere_pipeline():
+    """Extract two spheres, keep only the bigger one via filter_lcc."""
+
+    def sdf_fn(pts):
+        d1 = jnp.linalg.norm(pts - jnp.asarray([0.4, 0, 0]), axis=-1) - 0.35
+        d2 = jnp.linalg.norm(pts + jnp.asarray([0.55, 0, 0]), axis=-1) - 0.12
+        return jnp.minimum(d1, d2)
+
+    verts_all, _, _ = mesh_extract.extract_mesh(
+        sdf_fn, (-1, -1, -1), (1, 1, 1), resolution=40, block_res=40)
+    verts_lcc, faces_lcc, _ = mesh_extract.extract_mesh(
+        sdf_fn, (-1, -1, -1), (1, 1, 1), resolution=40, block_res=40,
+        filter_lcc=True)
+    assert len(verts_lcc) < len(verts_all)
+    # Everything that survives belongs to the big sphere around (0.4,0,0).
+    r = np.linalg.norm(verts_lcc - np.asarray([0.4, 0, 0]), axis=-1)
+    np.testing.assert_allclose(r, 0.35, atol=0.05)
+    assert len(faces_lcc) > 50
