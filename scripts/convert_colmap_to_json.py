@@ -121,14 +121,9 @@ def qvec2rotmat(q):
     ])
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--sparse_dir", required=True, help="COLMAP sparse/0 dir")
-    parser.add_argument("--images_dir", default="images", help="image dir relative to scene root")
-    parser.add_argument("--output", required=True, help="output transforms.json path")
-    parser.add_argument("--scene_type", choices=["object", "indoor", "outdoor"], default="object")
-    args = parser.parse_args()
-    sd = args.sparse_dir
+def read_sparse_model(sparse_dir):
+    """Read a COLMAP sparse model dir (binary or text) -> (cameras, images, points)."""
+    sd = sparse_dir
     if os.path.exists(os.path.join(sd, "cameras.bin")):
         cameras = read_cameras_binary(os.path.join(sd, "cameras.bin"))
         images = read_images_binary(os.path.join(sd, "images.bin"))
@@ -139,14 +134,68 @@ def main():
         images = read_images_text(os.path.join(sd, "images.txt"))
         points = (read_points3d_text(os.path.join(sd, "points3D.txt"))
                   if os.path.exists(os.path.join(sd, "points3D.txt")) else np.zeros((0, 3)))
+    return cameras, images, points
 
+
+def export_transforms(cameras, images, output, images_dir="images",
+                      sphere_center=None, sphere_radius=None, bounding_box=None):
+    """Write the transforms.json annotation for a COLMAP model.
+
+    Counterpart of the reference ``export_to_json``
+    (projects/neuralangelo/scripts/convert_data_to_json.py): GL-convention
+    camera-to-world matrices + shared pinhole intrinsics + scene
+    normalization (sphere center/radius, optional AABB).
+    """
     cam = cameras[next(iter(cameras))]
     if cam["model"] in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
         fx = fy = cam["params"][0]
         cx, cy = cam["params"][1], cam["params"][2]
-    else:  # PINHOLE / OPENCV
+    else:  # PINHOLE / OPENCV / RADIAL
         fx, fy, cx, cy = cam["params"][:4]
+        if cam["model"] == "RADIAL":
+            fx = fy = cam["params"][0]
+            cx, cy = cam["params"][1], cam["params"][2]
     w, h = cam["width"], cam["height"]
+
+    frames = []
+    for img in sorted(images.values(), key=lambda x: x["name"]):
+        R = qvec2rotmat(img["q"])  # w2c
+        t = np.asarray(img["t"])
+        c2w = np.eye(4)
+        c2w[:3, :3] = R.T
+        c2w[:3, 3] = -R.T @ t
+        c2w_gl = c2w * np.asarray([1, -1, -1, 1])[None, :]  # CV -> GL columns
+        frames.append({
+            "file_path": os.path.join(images_dir, img["name"]),
+            "transform_matrix": c2w_gl.tolist(),
+        })
+
+    out = {
+        "camera_angle_x": math.atan(w / (fx * 2)) * 2,
+        "camera_angle_y": math.atan(h / (fy * 2)) * 2,
+        "fl_x": fx, "fl_y": fy, "cx": cx, "cy": cy, "sk_x": 0.0, "sk_y": 0.0,
+        "w": int(w), "h": int(h),
+        "sphere_center": list(sphere_center) if sphere_center is not None else [0, 0, 0],
+        "sphere_radius": float(sphere_radius) if sphere_radius is not None else 1.0,
+        "frames": frames,
+    }
+    if bounding_box is not None:
+        out["bounding_box_aabb"] = bounding_box
+    os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
+    with open(output, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {output}: {len(frames)} frames, radius {out['sphere_radius']:.3f}")
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sparse_dir", required=True, help="COLMAP sparse/0 dir")
+    parser.add_argument("--images_dir", default="images", help="image dir relative to scene root")
+    parser.add_argument("--output", required=True, help="output transforms.json path")
+    parser.add_argument("--scene_type", choices=["object", "indoor", "outdoor"], default="object")
+    args = parser.parse_args()
+    cameras, images, points = read_sparse_model(args.sparse_dir)
 
     # Scene normalization: center = camera-hull centroid (object scenes) or
     # sparse-point median; radius covers the cameras.
@@ -162,32 +211,8 @@ def main():
         target = centers.mean(axis=0)
     radius = float(np.linalg.norm(centers - target, axis=1).max())
 
-    frames = []
-    for img in sorted(images.values(), key=lambda x: x["name"]):
-        R = qvec2rotmat(img["q"])  # w2c
-        t = np.asarray(img["t"])
-        c2w = np.eye(4)
-        c2w[:3, :3] = R.T
-        c2w[:3, 3] = -R.T @ t
-        c2w_gl = c2w * np.asarray([1, -1, -1, 1])[None, :]  # CV -> GL columns
-        frames.append({
-            "file_path": os.path.join(args.images_dir, img["name"]),
-            "transform_matrix": c2w_gl.tolist(),
-        })
-
-    out = {
-        "camera_angle_x": math.atan(w / (fx * 2)) * 2,
-        "camera_angle_y": math.atan(h / (fy * 2)) * 2,
-        "fl_x": fx, "fl_y": fy, "cx": cx, "cy": cy, "sk_x": 0.0, "sk_y": 0.0,
-        "w": int(w), "h": int(h),
-        "sphere_center": target.tolist(),
-        "sphere_radius": radius,
-        "frames": frames,
-    }
-    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
-    with open(args.output, "w") as f:
-        json.dump(out, f, indent=2)
-    print(f"wrote {args.output}: {len(frames)} frames, radius {radius:.3f}")
+    export_transforms(cameras, images, args.output, images_dir=args.images_dir,
+                      sphere_center=target.tolist(), sphere_radius=radius)
 
 
 if __name__ == "__main__":
