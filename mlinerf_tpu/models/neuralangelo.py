@@ -196,7 +196,10 @@ class Model(nn.Module):
         k_sampling = cfgr.get("sampling_levels")
         if k_sampling and self.cfg_model.object.sdf.encoding.type == "hashgrid":
             sampling_cond = dict(cond)
-            sampling_cond["max_levels"] = int(k_sampling)  # static truncation
+            cap = cond.get("max_levels")  # window-static coarse2fine cap
+            sampling_cond["max_levels"] = (
+                int(k_sampling) if cap is None else min(int(k_sampling), int(cap))
+            )
         k_coarse = rng
         occ_cfg = cfgr.get("occupancy")
         if occ_cfg and occ_cfg.get("enabled") and cond.get("occupancy_grid") is not None:
@@ -320,12 +323,14 @@ class Model(nn.Module):
             eps = cond["normal_eps"]
             offsets = numerical_gradient_taps(taps, eps)  # [T,3]
             sdfs, feats, sdf_taps = self.neural_sdf.stencil(
-                points, offsets, level_mask=cond.get("level_mask"), shared_levels=shared
+                points, offsets, level_mask=cond.get("level_mask"), shared_levels=shared,
+                max_levels=cond.get("max_levels"),
             )
             sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
             gradients, hessians = numerical_gradients(sdf_taps, sdfs, taps, eps, train)
         else:
-            sdfs, feats = self.neural_sdf(points, level_mask=cond.get("level_mask"))
+            sdfs, feats = self.neural_sdf(points, level_mask=cond.get("level_mask"),
+                                          max_levels=cond.get("max_levels"))
             sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
             gradients, hessians = self.compute_gradients(points, cond, training=train, sdf=sdfs)
         return sdfs, feats, gradients, hessians

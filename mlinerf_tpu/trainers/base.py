@@ -139,6 +139,10 @@ class BaseTrainer:
     functions + pytrees.
     """
 
+    # Static hash-level cap for the CURRENT dispatch window (None = no cap);
+    # set by train() right before each window, captured at step trace time.
+    _train_max_levels = None
+
     def __init__(self, cfg, is_inference: bool = False, seed: int = 0, logdir: Optional[str] = None):
         self.cfg = cfg
         self.seed = seed
@@ -294,6 +298,19 @@ class BaseTrainer:
         """Per-iteration conditioning inputs (traced-friendly)."""
         return {"progress": jnp.asarray(iteration, jnp.float32) / self.cfg.max_iter}
 
+    def static_max_levels_for(self, it_end: int):
+        """Static hash-level cap valid through iteration ``it_end`` (or None).
+
+        Coarse-to-fine annealing masks inactive levels with a binary traced
+        mask — mathematically exact but every masked level still pays its
+        gathers and gradient scatter-adds. Trainers with a hash-grid encoder
+        override this to return the active-level count at the END of a
+        dispatch window so the train step can skip inactive levels entirely
+        (the mask keeps intra-window growth exact); the jit cache is keyed on
+        it, costing one retrace per level-growth event (<= num_levels per run).
+        """
+        return None
+
     def loss_weights_at(self, iteration, cond) -> Dict[str, Any]:
         """Loss weights; traced scalars allowed (e.g. curvature warmup)."""
         return {k: jnp.asarray(v, jnp.float32) for k, v in self.weights.items()}
@@ -366,6 +383,11 @@ class BaseTrainer:
             batch = self.sample_batch(arrays, k_batch)
             batch = pmesh.shard_rays_tree(self.mesh, batch, ray_axis_keys=("ray_idx",))
             cond = self.make_cond(it)
+            if self._train_max_levels is not None:
+                # Static per-window cap captured at trace time; the caller
+                # keys the jit cache on it (see train()).
+                cond = dict(cond)
+                cond["max_levels"] = self._train_max_levels
             if "occupancy_grid" in arrays:
                 cond = dict(cond)
                 cond["occupancy_grid"] = arrays["occupancy_grid"]
@@ -483,12 +505,13 @@ class BaseTrainer:
             # trainer.steps_per_dispatch.
             spd = min(cadence, 100) if jax.default_backend() == "cpu" else 1
         spd = max(int(spd), 1)
-        loops = {}  # scan length -> jitted loop
+        loops = {}  # (scan length, static max_levels) -> jitted loop
 
         def run(state, n, rng):
-            if n not in loops:
-                loops[n] = (self.build_train_step() if n == 1 else self.build_train_loop(n))
-            return loops[n](state, arrays, rng)
+            key = (n, self._train_max_levels)
+            if key not in loops:
+                loops[key] = (self.build_train_step() if n == 1 else self.build_train_loop(n))
+            return loops[key](state, arrays, rng)
 
         # Occupancy grid maintenance (opt-in; see ops/occupancy.py). The grid
         # rides into the step through `arrays`, refreshed from the SDF every
@@ -531,6 +554,7 @@ class BaseTrainer:
             # Never step across a cadence boundary.
             to_boundary = cadence - (it % cadence)
             n = min(n, to_boundary)
+            self._train_max_levels = self.static_max_levels_for(it + n - 1)
             self.timer.start_iteration()
             state, info = run(state, n, rng)
             it += n

@@ -28,6 +28,21 @@ class Trainer(BaseTrainer):
     def make_cond(self, iteration):
         return make_cond(self.cfg.model, iteration, self.cfg.max_iter, self.warm_up_end)
 
+    def static_max_levels_for(self, it_end: int):
+        """Active-level count at ``it_end`` (host-side mirror of make_cond's
+        coarse2fine schedule, models/neuralangelo.py:55-63). The traced
+        level_mask stays authoritative for every step in the window; this cap
+        only lets the encoder skip levels the mask would zero anyway."""
+        cfg_sdf = self.cfg.model.object.sdf
+        if not self.cfg.trainer.get("static_level_truncation", True):
+            return None
+        if cfg_sdf.encoding.type != "hashgrid" or not cfg_sdf.encoding.coarse2fine.enabled:
+            return None
+        c2f = cfg_sdf.encoding.coarse2fine
+        levels = cfg_sdf.encoding.levels
+        anneal = max((int(it_end) - self.warm_up_end) // c2f.step, 1)
+        return int(min(max(c2f.init_active_level, anneal), levels))
+
     def loss_weights_at(self, iteration, cond):
         weights = super().loss_weights_at(iteration, cond)
         cfg_sdf = self.cfg.model.object.sdf

@@ -91,9 +91,13 @@ def main():
                 cfg.model.render.num_sample_hierarchy = hier
             return f
 
+        # Equal-budget uniform controls isolate what occupancy placement
+        # itself buys at each reduced budget.
         variants = [
             ("uniform coarse=16", set_occ(False, 16, 2)),
+            ("uniform coarse=8", set_occ(False, 8, 2)),
             ("occ coarse=8", set_occ(True, 8, 2)),
+            ("uniform coarse=4", set_occ(False, 4, 2)),
             ("occ coarse=4", set_occ(True, 4, 2)),
         ]
     else:
