@@ -61,7 +61,11 @@ def build_bench_cfg():
     cfg.timeout_period = 9999999
     # Perf-variant knobs (each bench process measures ONE variant; PERF.md
     # documents why cross-variant comparisons need fresh processes).
-    shared = int(os.environ.get("BENCH_SHARED_LEVELS", 0))
+    # Default: the shared-tap stencil on all levels — the recommended TPU
+    # training configuration (1.4-1.9x step speedup; quality parity on the
+    # synthetic A/B, scripts/quality_ab.py AB_STUDY=shared). Set
+    # BENCH_SHARED_LEVELS=0 to measure the reference-exact gradient path.
+    shared = int(os.environ.get("BENCH_SHARED_LEVELS", 16))
     if shared:
         cfg.model.object.sdf.gradient.shared_levels = shared
     return cfg

@@ -57,9 +57,15 @@ def main():
     if args.profile:
         import jax
 
-        os.makedirs(os.path.join(logdir, "profile"), exist_ok=True)
-        with jax.profiler.trace(os.path.join(logdir, "profile")):
+        profile_dir = os.path.join(logdir, "profile")
+        os.makedirs(profile_dir, exist_ok=True)
+        with jax.profiler.trace(profile_dir):
             trainer.train(arrays, val_dataset=val_dataset, show_progress=True)
+        # Reference parity: print the top-op table after a profiled run
+        # (imaginaire/trainers/base.py:500-521).
+        from mlinerf_tpu.utils import profiling
+
+        profiling.print_breakdown(profile_dir)
     else:
         trainer.train(arrays, val_dataset=val_dataset, show_progress=args.show_pbar or True)
     trainer.save_checkpoint(latest=True)
