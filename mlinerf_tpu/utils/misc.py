@@ -122,6 +122,33 @@ def get_schedule(cfg_sched, max_iter: int = None) -> Callable:
 # ---------------------------------------------------------------------------
 
 
+def clamp_with_gradient(x, min_value: float, max_value: float):
+    """Clamp with a learning signal outside the range.
+
+    Counterpart of the reference's ``CustomClamp``/``ClampWithGradient``
+    (projects/NeuralLumen/utils/modules.py:268-299, unused in shipped
+    configs): the forward clamps to [min, max]; the backward passes the
+    upstream cotangent through inside the range and replaces it with a
+    CONSTANT 1 outside (the reference's exact, quirky semantics —
+    ``grad_input[(x < min) | (x > max)] = 1`` — a fixed push rather than a
+    zeroed or straight-through gradient).
+    """
+
+    @jax.custom_vjp
+    def _clamp(v):
+        return jnp.clip(v, min_value, max_value)
+
+    def fwd(v):
+        return jnp.clip(v, min_value, max_value), v
+
+    def bwd(v, g):
+        outside = (v < min_value) | (v > max_value)
+        return (jnp.where(outside, jnp.ones_like(g), g),)
+
+    _clamp.defvjp(fwd, bwd)
+    return _clamp(x)
+
+
 def to_full_image(image, image_size=None, from_vec: bool = True):
     """[B,HW,...,K] -> [B,K,H,W,...] (or [B,H,W,...,K] -> [B,K,H,W,...])."""
     if from_vec:

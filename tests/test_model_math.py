@@ -144,3 +144,15 @@ def test_iter_cos_annealing_limits():
     np.testing.assert_allclose(out1, [-0.5, 0.0], atol=1e-6)
     # always non-positive
     assert (out0 <= 0).all() and (out1 <= 0).all()
+
+
+def test_clamp_with_gradient_reference_semantics():
+    """CustomClamp parity (NeuralLumen/utils/modules.py:268-299): forward
+    clamps; backward passes cotangent inside the range, constant 1 outside."""
+    from mlinerf_tpu.utils.misc import clamp_with_gradient
+
+    x = jnp.asarray([-0.5, 0.25, 0.75, 1.5])
+    y, vjp = jax.vjp(lambda v: clamp_with_gradient(v, 0.0, 1.0), x)
+    np.testing.assert_allclose(y, [0.0, 0.25, 0.75, 1.0])
+    (gx,) = vjp(jnp.asarray([10.0, 10.0, 10.0, 10.0]))
+    np.testing.assert_allclose(gx, [1.0, 10.0, 10.0, 1.0])
