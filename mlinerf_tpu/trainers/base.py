@@ -744,8 +744,30 @@ class BaseTrainer:
                 params, center, ray, it, rng, num_rays_chunk, pts_light=pts_light,
             )
             return jax.device_get(out)
-        # Host chunk loop (one dispatch per fixed-size chunk).
         total = H * W
+        # Windowed dispatches: `runtime.inference_chunks_per_dispatch` chunks
+        # render per dispatched program (lax.map over the window), amortizing
+        # the per-dispatch host latency the same way the scanned train windows
+        # do. Default 1 = the per-chunk loop (the all-chunks lax.map faults
+        # some TPU runtimes at production size — see PERF.md; raise the knob
+        # after validating on your backend).
+        wc = int(self.cfg.get("runtime", {}).get("inference_chunks_per_dispatch") or 1)
+        if wc > 1:
+            window = wc * num_rays_chunk
+            chunks = []
+            for c0 in range(0, total, window):
+                c1 = min(c0 + window, total)
+                pad = window - (c1 - c0)
+                sl = lambda x: (jnp.pad(x[:, c0:c1], ((0, 0), (0, pad), (0, 0)))
+                                if pad else x[:, c0:c1])
+                out = self._render_image_jit(
+                    params, sl(center), sl(ray), it, rng, num_rays_chunk,
+                    pts_light=sl(pts_light) if pts_light is not None else None,
+                )
+                chunks.append({k: np.asarray(v)[:, : c1 - c0]
+                               for k, v in jax.device_get(out).items()})
+            return {k: np.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]}
+        # Host chunk loop (one dispatch per fixed-size chunk).
         chunks = []
         for c0 in range(0, total, num_rays_chunk):
             c1 = min(c0 + num_rays_chunk, total)

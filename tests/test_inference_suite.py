@@ -73,3 +73,35 @@ def test_all_light_and_pseudo_labels(trained):
     for cam in labels:
         assert labels[cam]["pseudo_reflectance"].shape == (H, W, 3)
         assert np.isfinite(labels[cam]["pseudo_reflectance"]).all()
+
+
+def test_windowed_inference_matches_chunked(tmp_path):
+    """runtime.inference_chunks_per_dispatch: the windowed lax.map path must
+    reproduce the per-chunk loop and the fused single-dispatch bit-for-bit
+    (same programs over the same padded chunks)."""
+    cfg = tiny_lumen_cfg(tmp_path, stage="a", max_iter=2)
+    cfg.model.render.rand_rays_val = 192  # 32x32 image -> 6 chunks (last partial)
+    Dataset = resolve("dataset", cfg.data.type)
+    Trainer = resolve("trainer", cfg.trainer.type)
+    val_ds = Dataset(cfg, is_inference=True)
+    sample = val_ds[0]
+    data = {k: np.asarray(v)[None] for k, v in sample.items() if not np.isscalar(v)}
+    data["idx"] = np.asarray([sample["idx"]])
+    size = cfg.data.val.image_size
+
+    outs = {}
+    for name, runtime in (("fused", {"fused_inference": True}),
+                          ("chunked", {"fused_inference": False}),
+                          ("windowed", {"fused_inference": False,
+                                        "inference_chunks_per_dispatch": 4})):
+        cfg_v = tiny_lumen_cfg(tmp_path, stage="a", max_iter=2)
+        cfg_v.model.render.rand_rays_val = 192
+        cfg_v.runtime = dict(runtime)
+        tr = Trainer(cfg_v, is_inference=True, seed=0, logdir=str(tmp_path / name))
+        outs[name] = tr.render_image(data, size)
+
+    for key in outs["fused"]:
+        np.testing.assert_allclose(outs["chunked"][key], outs["fused"][key],
+                                   atol=1e-5, err_msg=key)
+        np.testing.assert_allclose(outs["windowed"][key], outs["fused"][key],
+                                   atol=1e-5, err_msg=key)
