@@ -496,14 +496,14 @@ class BaseTrainer:
         # window (device-resident data + in-step schedules make this safe).
         spd = cfg.trainer.get("steps_per_dispatch")
         if spd is None:
-            # Scanned multi-step windows are the default where dispatch
-            # latency matters and scan is well-tested (CPU/virtual meshes).
-            # On real TPU backends large scanned train programs have been
-            # observed to fault the worker at production model sizes, and a
-            # faulted worker cannot be recovered in-process (donated state is
-            # gone) — default to single-step dispatches there; opt in via
+            # Scanned multi-step windows amortize per-dispatch host latency
+            # (562 rays/s at 20-step windows vs 175 at 5 / ~80 single-step on
+            # the v5e parity workload — PERF.md). 20 is the validated TPU
+            # window: a 200-iteration production-path soak ran clean, while
+            # 50-step scans faulted the worker (a faulted worker cannot be
+            # recovered in-process — donated state is gone). Override via
             # trainer.steps_per_dispatch.
-            spd = min(cadence, 100) if jax.default_backend() == "cpu" else 1
+            spd = min(cadence, 100) if jax.default_backend() == "cpu" else min(cadence, 20)
         spd = max(int(spd), 1)
         loops = {}  # (scan length, static max_levels) -> jitted loop
 
