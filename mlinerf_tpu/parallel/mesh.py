@@ -77,3 +77,44 @@ def replicate(mesh: Optional[Mesh], tree):
         return tree
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_hash_tables(mesh: Optional[Mesh], tree, min_rows: int = 8192):
+    """ZeRO-style row-sharding of hash-table state over the mesh.
+
+    The hash tables are by far the largest state (2^22 rows x 16 levels plus
+    two fp32 Adam moments each — ~5.3 GB at the reference configuration,
+    dwarfing the MLPs). Row-sharding every ``hash_table`` leaf (params, both
+    optimizer moments, EMA) over the mesh:
+
+      * divides optimizer/EMA memory and the table *update* work by the
+        device count,
+      * turns the table-gradient combine into a reduce-scatter (each chip
+        reduces only its row shard) instead of a full psum of the 2.1 GB
+        fp32 gradient,
+      * costs one bf16 all-gather of the live table per step for the
+        encoder's gathers — ~1 GB over ICI, cheap next to the scatter work
+        it balances.
+
+    The reference has no analog (DDP replicates everything;
+    imaginaire/trainers/utils/get_trainer.py:80-88). Non-table leaves are
+    replicated; table levels whose row count does not divide the mesh (odd
+    dense resolutions) or is below ``min_rows`` stay replicated too.
+    """
+    if mesh is None:
+        return tree
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    row_sharded = NamedSharding(mesh, P(axis, None))
+    replicated = NamedSharding(mesh, P())
+
+    def put(path, x):
+        if x is None or np.isscalar(x):
+            return x
+        path_str = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        if ("hash_table" in path_str and getattr(x, "ndim", 0) == 2
+                and x.shape[0] % n == 0 and x.shape[0] >= min_rows):
+            return jax.device_put(x, row_sharded)
+        return jax.device_put(x, replicated)
+
+    return jax.tree_util.tree_map_with_path(put, tree)

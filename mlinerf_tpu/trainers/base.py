@@ -193,6 +193,11 @@ class BaseTrainer:
             iteration=jnp.zeros((), jnp.int32),
             ema_params=ema_params,
         )
+        if self.mesh is not None and cfg.get("runtime", {}).get("shard_tables"):
+            # ZeRO-style row-sharding of the hash-table state over the mesh
+            # (see parallel/mesh.shard_hash_tables). Output shardings follow
+            # from the donated inputs, so the jitted step keeps them.
+            self.state = pmesh.shard_hash_tables(self.mesh, self.state)
 
         # Bookkeeping ---------------------------------------------------------
         self.current_iteration = 0

@@ -69,3 +69,44 @@ def test_sharded_matches_unsharded(tmp_path):
         tr.train(arrays)
         results[mesh_mode] = tr.losses_host["render"]
     np.testing.assert_allclose(results["none"], results["rays"], rtol=1e-4)
+
+
+def test_zero_sharded_tables_match_replicated(tmp_path):
+    """runtime.shard_tables (ZeRO-style hash-table row sharding) must keep
+    table leaves row-sharded through trained steps AND match the replicated
+    run numerically."""
+    from tests.test_train_e2e import tiny_lumen_cfg
+    from mlinerf_tpu.config import resolve
+
+    params_by_mode = {}
+    for shard_tables in (False, True):
+        cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=3)
+        cfg.model.render.rand_rays = 64
+        # dict_size 12 -> 4096 rows; lower min_rows via a big enough table:
+        cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
+        cfg.runtime.mesh = "rays"
+        cfg.runtime.shard_tables = shard_tables
+        Dataset = resolve("dataset", cfg.data.type)
+        arrays = Dataset(cfg).as_arrays()
+        Trainer = resolve("trainer", cfg.trainer.type)
+        tr = Trainer(cfg, seed=0, logdir=str(tmp_path / f"zt_{shard_tables}"))
+        tr.train(arrays)
+        params_by_mode[shard_tables] = tr.state.params
+        if shard_tables:
+            # The hash-table leaves must still be row-sharded after training.
+            sharded_leaves = 0
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tr.state.params)[0]:
+                path_str = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                                    for k in path)
+                if "hash_table" in path_str and leaf.ndim == 2 \
+                        and leaf.shape[0] % 8 == 0 and leaf.shape[0] >= 8192:
+                    spec = leaf.sharding.spec
+                    assert spec and spec[0] == "rays", (path_str, spec)
+                    sharded_leaves += 1
+            assert sharded_leaves > 0
+
+    a = jax.tree.leaves(params_by_mode[False])
+    b = jax.tree.leaves(params_by_mode[True])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x, np.float32), np.asarray(y, np.float32),
+                                   rtol=2e-3, atol=1e-5)
