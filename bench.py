@@ -129,11 +129,11 @@ def main():
     if os.environ.get("BENCH_AS_CHILD"):
         measure(int(os.environ["BENCH_AS_CHILD"]))
         return
-    # 20-step windows amortize the per-dispatch host overhead that dominates
-    # short windows (5-step: 243-334 rays/s; 20-step: 562 rays/s measured);
-    # 50-step scans faulted the TPU worker (the child-process fallback below
-    # caught it), so 20 is the validated sweet spot.
-    spd = int(os.environ.get("BENCH_SPD", 20))
+    # Scan windows amortize the per-dispatch host overhead that dominates
+    # short windows (5-step: 243-334 rays/s; 20-step: 562-673; 32-step: 732,
+    # soak-validated); 50-step scans faulted the TPU worker (the
+    # child-process fallback below caught it).
+    spd = int(os.environ.get("BENCH_SPD", 32))
     if spd > 1:
         import subprocess
         import sys

@@ -502,13 +502,13 @@ class BaseTrainer:
         spd = cfg.trainer.get("steps_per_dispatch")
         if spd is None:
             # Scanned multi-step windows amortize per-dispatch host latency
-            # (562 rays/s at 20-step windows vs 175 at 5 / ~80 single-step on
-            # the v5e parity workload — PERF.md). 20 is the validated TPU
-            # window: a 200-iteration production-path soak ran clean, while
-            # 50-step scans faulted the worker (a faulted worker cannot be
-            # recovered in-process — donated state is gone). Override via
+            # (732 rays/s at 32-step windows vs 562-673 at 20 / 175 at 5 /
+            # ~80 single-step on the v5e parity workload — PERF.md). 32 is
+            # soak-validated (224 production-path iterations, clean); 50-step
+            # scans faulted the worker (a faulted worker cannot be recovered
+            # in-process — donated state is gone). Override via
             # trainer.steps_per_dispatch.
-            spd = min(cadence, 100) if jax.default_backend() == "cpu" else min(cadence, 20)
+            spd = min(cadence, 100) if jax.default_backend() == "cpu" else min(cadence, 32)
         spd = max(int(spd), 1)
         loops = {}  # (scan length, static max_levels) -> jitted loop
 
