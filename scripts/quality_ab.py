@@ -9,7 +9,7 @@ this workload). Variants are chosen with AB_STUDY:
   shared  — gradient.shared_levels 0 / half / all (the stencil fast path)
   occ     — occupancy off/on at shrinking coarse budgets
 
-Env: AB_ITERS (default 300), AB_STUDY (default shared).
+Env: AB_ITERS (default 300), AB_STUDY (default shared), AB_SEED (default 0).
 """
 
 import os
@@ -55,7 +55,7 @@ def run_variant(name, mutate, iters):
     Dataset = resolve("dataset", cfg.data.type)
     arrays = Dataset(cfg).as_arrays()
     Trainer = resolve("trainer", cfg.trainer.type)
-    tr = Trainer(cfg, seed=0, logdir=tmp)
+    tr = Trainer(cfg, seed=int(os.environ.get("AB_SEED", 0)), logdir=tmp)
     print(f"=== {name} ===", flush=True)
     tr.train(arrays)
     val_ds = Dataset(cfg, is_inference=True)
