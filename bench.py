@@ -65,9 +65,11 @@ def build_bench_cfg():
     # training configuration (1.4-1.9x step speedup; quality parity on the
     # synthetic A/B, scripts/quality_ab.py AB_STUDY=shared). Set
     # BENCH_SHARED_LEVELS=0 to measure the reference-exact gradient path.
-    shared = int(os.environ.get("BENCH_SHARED_LEVELS", 16))
-    if shared:
-        cfg.model.object.sdf.gradient.shared_levels = shared
+    shared = os.environ.get("BENCH_SHARED_LEVELS", "16")
+    if shared not in ("0", ""):
+        cfg.model.object.sdf.gradient.shared_levels = (
+            shared if shared == "auto" else int(shared)
+        )
     return cfg
 
 

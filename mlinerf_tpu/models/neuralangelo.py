@@ -313,7 +313,19 @@ class Model(nn.Module):
         Returns (sdfs [...,1], feats [...,W], gradients [...,3], hessians).
         """
         grad_cfg = self.cfg_model.object.sdf.gradient
-        shared = int(grad_cfg.get("shared_levels") or 0)
+        shared_cfg = grad_cfg.get("shared_levels") or 0
+        if shared_cfg == "auto":
+            # Share every level EXCEPT the finest active one: the tap spacing
+            # equals the finest active level's cell size, so only that level's
+            # taps cross into neighboring cells (where the shared path's
+            # in-cell extrapolation diverges from the true finite difference).
+            # Uses the window-static coarse2fine cap when present (train
+            # path, trainers/base.py); falls back to all-but-last globally.
+            cap = cond.get("max_levels")
+            levels = self.cfg_model.object.sdf.encoding.levels
+            shared = max((int(cap) if cap is not None else levels) - 1, 0)
+        else:
+            shared = int(shared_cfg)
         if (
             grad_cfg.mode != "analytical"
             and shared > 0

@@ -80,7 +80,7 @@ def main():
         L = probe.model.object.sdf.encoding.levels
         variants = [
             ("shared=0 (exact)", set_shared(0)),
-            (f"shared={L // 2}", set_shared(L // 2)),
+            ("shared=auto (finest exact)", set_shared("auto")),
             (f"shared={L} (all)", set_shared(L)),
         ]
     elif study == "occ":

@@ -184,3 +184,34 @@ def test_train_step_with_shared_levels(tmp_path):
     assert np.isfinite(tr.losses_host["render"])
     assert np.isfinite(tr.losses_host["eikonal"])
     jax.clear_caches()
+
+
+def test_shared_levels_auto_equals_explicit_cap_minus_one(tmp_path):
+    """shared_levels='auto' with the window-static coarse2fine cap must train
+    bitwise-identically to an explicit shared = cap-1 (the finest active
+    level runs the exact per-tap path)."""
+    import jax
+    import numpy as np
+
+    from mlinerf_tpu.config import resolve
+    from tests.test_train_e2e import tiny_lumen_cfg
+
+    params_by = {}
+    for name, shared in (("auto", "auto"), ("explicit", 3)):
+        cfg = tiny_lumen_cfg(tmp_path, stage="a", max_iter=4)
+        cfg.logging_iter = 4
+        # Freeze the active-level count at 4 for the whole run.
+        cfg.model.object.sdf.encoding.coarse2fine.init_active_level = 4
+        cfg.model.object.sdf.encoding.coarse2fine.step = 10**6
+        cfg.model.object.sdf.gradient.shared_levels = shared
+        Dataset = resolve("dataset", cfg.data.type)
+        arrays = Dataset(cfg).as_arrays()
+        Trainer = resolve("trainer", cfg.trainer.type)
+        tr = Trainer(cfg, seed=0, logdir=str(tmp_path / f"auto_{name}"))
+        tr.train(arrays)
+        assert tr._train_max_levels == 4
+        params_by[name] = tr.state.params
+
+    for a, b in zip(jax.tree.leaves(params_by["auto"]),
+                    jax.tree.leaves(params_by["explicit"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
