@@ -61,11 +61,12 @@ def build_bench_cfg():
     cfg.timeout_period = 9999999
     # Perf-variant knobs (each bench process measures ONE variant; PERF.md
     # documents why cross-variant comparisons need fresh processes).
-    # Default: the shared-tap stencil on all levels — the recommended TPU
-    # training configuration (1.4-1.9x step speedup; quality parity on the
-    # synthetic A/B, scripts/quality_ab.py AB_STUDY=shared). Set
-    # BENCH_SHARED_LEVELS=0 to measure the reference-exact gradient path.
-    shared = os.environ.get("BENCH_SHARED_LEVELS", "16")
+    # Default: the reference-EXACT gradient path. The shared-tap stencil
+    # (BENCH_SHARED_LEVELS=16 or "auto") measures ~2.4x faster but the
+    # multi-seed 800-iter A/B shows a real PSNR cost on the synthetic scene
+    # (PERF.md honesty ledger), so the headline stays exact until a
+    # real-data study clears it.
+    shared = os.environ.get("BENCH_SHARED_LEVELS", "0")
     if shared not in ("0", ""):
         cfg.model.object.sdf.gradient.shared_levels = (
             shared if shared == "auto" else int(shared)
@@ -131,11 +132,13 @@ def main():
     if os.environ.get("BENCH_AS_CHILD"):
         measure(int(os.environ["BENCH_AS_CHILD"]))
         return
-    # Scan windows amortize the per-dispatch host overhead that dominates
-    # short windows (5-step: 243-334 rays/s; 20-step: 562-673; 32-step: 732,
-    # soak-validated); 50-step scans faulted the TPU worker (the
-    # child-process fallback below caught it).
-    spd = int(os.environ.get("BENCH_SPD", 32))
+    # Scan windows amortize per-dispatch host overhead, but window size is
+    # bounded by worker faults and the boundary depends on the gradient
+    # mode's program size (PERF.md): exact faults at 8+ steps (5 clean),
+    # the stencil is clean at 32 (faults at 40). Pair the default window
+    # with the gradient-mode default.
+    shared_default = os.environ.get("BENCH_SHARED_LEVELS", "0") not in ("0", "")
+    spd = int(os.environ.get("BENCH_SPD", 32 if shared_default else 5))
     if spd > 1:
         import subprocess
         import sys

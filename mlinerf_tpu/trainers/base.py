@@ -165,8 +165,8 @@ class BaseTrainer:
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = self._init_params(init_rng)
         self.params = self._apply_weight_init(self.params, cfg)
-        num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
-        print(f"[model] {cfg.model.type}: {num_params / 1e6:.2f}M parameters")
+        self.num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+        print(f"[model] {cfg.model.type}: {self.num_params / 1e6:.2f}M parameters")
 
         # Optimizer ---------------------------------------------------------
         self.tx, self.lr_fn = optim_lib.make_optimizer(cfg.optim, max_iter=cfg.max_iter)
@@ -501,14 +501,25 @@ class BaseTrainer:
         # window (device-resident data + in-step schedules make this safe).
         spd = cfg.trainer.get("steps_per_dispatch")
         if spd is None:
-            # Scanned multi-step windows amortize per-dispatch host latency
-            # (732 rays/s at 32-step windows vs 562-673 at 20 / 175 at 5 /
-            # ~80 single-step on the v5e parity workload — PERF.md). 32 is
-            # soak-validated (224 production-path iterations, clean); 50-step
-            # scans faulted the worker (a faulted worker cannot be recovered
-            # in-process — donated state is gone). Override via
+            # Scanned multi-step windows amortize per-dispatch host latency,
+            # but too-large window PROGRAMS fault the TPU worker, and the
+            # boundary depends on the per-step op count and model footprint
+            # (PERF.md): at the 365M-param parity scale, the reference-exact
+            # gradient path faults at 8+ steps (5 is clean) while the
+            # shared-tap stencil's smaller program is soak-clean at 32
+            # (faults at 40); small models (the 1.7M-param demo) run 32
+            # clean on the exact path too. A faulted worker cannot be
+            # recovered in-process (donated state is gone), so the default
+            # is conservative per mode/size; override via
             # trainer.steps_per_dispatch.
-            spd = min(cadence, 100) if jax.default_backend() == "cpu" else min(cadence, 32)
+            if jax.default_backend() == "cpu":
+                spd = min(cadence, 100)
+            else:
+                grad_cfg = (cfg.model.get("object", {}).get("sdf", {}).get("gradient", {})
+                            if "object" in cfg.model else {})
+                stencil_on = bool(grad_cfg.get("shared_levels"))
+                big = self.num_params > 100e6
+                spd = min(cadence, 5 if (big and not stencil_on) else 32)
         spd = max(int(spd), 1)
         loops = {}  # (scan length, static max_levels) -> jitted loop
 
