@@ -51,21 +51,50 @@ class TrainState:
 
 
 class MetricsLogger:
-    """JSONL metrics sink + optional W&B (disabled in zero-egress envs)."""
+    """JSONL metrics sink + optional W&B and TensorBoard.
 
-    def __init__(self, logdir: str, use_wandb: bool = False, wandb_name: str = None):
+    W&B resume: the run id persists in ``<logdir>/wandb_id.txt`` so a
+    resumed training continues the SAME wandb run (reference
+    imaginaire/trainers/base.py:231-272). TensorBoard scalars/images are
+    written when ``tensorboard: true`` (reference
+    imaginaire/trainers/utils/meters.py:56-147).
+    """
+
+    def __init__(self, logdir: str, use_wandb: bool = False, wandb_name: str = None,
+                 use_tensorboard: bool = False):
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, "metrics.jsonl")
         self.wandb = None
+        self.tb = None
         if use_wandb:
             try:
                 import wandb
 
-                wandb.init(project="mlinerf_tpu", name=wandb_name, dir=logdir)
+                wandb_id = self._persistent_wandb_id(wandb)
+                wandb.init(project="mlinerf_tpu", name=wandb_name, dir=logdir,
+                           id=wandb_id, resume="allow")
                 self.wandb = wandb
             except Exception as exc:  # pragma: no cover
                 print(f"[logger] wandb unavailable ({exc}); falling back to JSONL only")
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(log_dir=os.path.join(logdir, "tensorboard"))
+            except Exception as exc:  # pragma: no cover
+                print(f"[logger] tensorboard unavailable ({exc})")
+
+    def _persistent_wandb_id(self, wandb) -> str:
+        """Read or mint the run id stored next to the checkpoints."""
+        id_path = os.path.join(self.logdir, "wandb_id.txt")
+        if os.path.exists(id_path):
+            with open(id_path) as f:
+                return f.read().strip()
+        run_id = wandb.util.generate_id()
+        with open(id_path, "w") as f:
+            f.write(run_id)
+        return run_id
 
     def log_scalars(self, scalars: Dict[str, float], step: int):
         rec = {"step": int(step), **{k: float(v) for k, v in scalars.items()}}
@@ -73,6 +102,10 @@ class MetricsLogger:
             f.write(json.dumps(rec) + "\n")
         if self.wandb:
             self.wandb.log(scalars, step=step)
+        if self.tb:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, float(v), global_step=step)
+            self.tb.flush()
 
     def log_images(self, images: Dict[str, np.ndarray], step: int):
         img_dir = os.path.join(self.logdir, "images", f"{step:09d}")
@@ -83,6 +116,11 @@ class MetricsLogger:
             save_image(os.path.join(img_dir, key.replace("/", "_") + ".png"), img)
         if self.wandb:
             self.wandb.log({k: self.wandb.Image(np.asarray(v)) for k, v in images.items()}, step=step)
+        if self.tb:
+            for k, v in images.items():
+                self.tb.add_image(k, np.clip(np.asarray(v), 0, 1), global_step=step,
+                                  dataformats="HWC")
+            self.tb.flush()
 
 
 class Watchdog:
@@ -169,7 +207,13 @@ class BaseTrainer:
         print(f"[model] {cfg.model.type}: {self.num_params / 1e6:.2f}M parameters")
 
         # Optimizer ---------------------------------------------------------
-        self.tx, self.lr_fn = optim_lib.make_optimizer(cfg.optim, max_iter=cfg.max_iter)
+        # grad_accum_iter: REAL accumulate-then-update (optax.MultiSteps) —
+        # k steps contribute their mean gradient to one inner update
+        # (reference imaginaire/trainers/base.py grad accumulation).
+        self.grad_accum = max(int(cfg.trainer.get("grad_accum_iter", 1) or 1), 1)
+        self.tx, self.lr_fn = optim_lib.make_optimizer(
+            cfg.optim, max_iter=cfg.max_iter, grad_accum=self.grad_accum
+        )
         self.partial_keywords = list(cfg.optim.get("partial_training", []) or [])
         if not self.partial_keywords:
             self.partial_keywords = list(cfg.trainer.get("partial_grad", []) or [])
@@ -204,7 +248,8 @@ class BaseTrainer:
         self.current_epoch = 0
         self.checkpointer = Checkpointer(cfg, self.logdir)
         self.logger = MetricsLogger(self.logdir, use_wandb=cfg.get("wandb", False),
-                                    wandb_name=cfg.get("wandb_name"))
+                                    wandb_name=cfg.get("wandb_name"),
+                                    use_tensorboard=cfg.get("tensorboard", False))
         self.watchdog = Watchdog(cfg.timeout_period)
         self.timer = PhaseTimer()
         self.losses_host: Dict[str, float] = {}
@@ -378,7 +423,6 @@ class BaseTrainer:
         """The raw (un-jitted) train step — also the body of scanned loops."""
         cfg = self.cfg
         partial_kw = self.partial_keywords
-        grad_accum = cfg.trainer.get("grad_accum_iter", 1)
         ema_cfg = cfg.trainer.ema_config
 
         def train_step(state: TrainState, arrays, rng):
@@ -413,7 +457,7 @@ class BaseTrainer:
                 for key, value in loss_dict.items():
                     if key in weights:
                         total = total + weights[key] * value
-                return total / grad_accum, (loss_dict, metric_dict)
+                return total, (loss_dict, metric_dict)
 
             (total, (loss_dict, metric_dict)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -518,8 +562,17 @@ class BaseTrainer:
                 grad_cfg = (cfg.model.get("object", {}).get("sdf", {}).get("gradient", {})
                             if "object" in cfg.model else {})
                 stencil_on = bool(grad_cfg.get("shared_levels"))
-                big = self.num_params > 100e6
-                spd = min(cadence, 5 if (big and not stencil_on) else 32)
+                # Only default into MEASURED-safe windows (a worker fault is
+                # unrecoverable in-process — donated state is lost): the
+                # stencil program is soak-clean at 32 at the LARGEST (365M)
+                # scale, so smaller programs inherit 32; the exact path is
+                # only proven at 32 on the ~2M-param demo and at 5 at parity
+                # scale, so every exact model above demo scale defaults to 5.
+                # Users opt into larger windows via trainer.steps_per_dispatch.
+                if stencil_on:
+                    spd = min(cadence, 32)
+                else:
+                    spd = min(cadence, 32 if self.num_params < 4e6 else 5)
         spd = max(int(spd), 1)
         loops = {}  # (scan length, static max_levels) -> jitted loop
 
@@ -621,6 +674,16 @@ class BaseTrainer:
         latest = False
         if iteration % cfg.checkpoint.save_iter == 0:
             save = True
+        # Epoch-cadence saves (reference imaginaire/trainers/base.py:366-368):
+        # fire when the epoch counter crosses a multiple of save_epoch —
+        # crossing detection, since multi-step dispatch windows can advance
+        # the epoch by more than one between trigger checks.
+        save_epoch = cfg.checkpoint.get("save_epoch")
+        if save_epoch:
+            prev = getattr(self, "_ckpt_prev_epoch", 0)
+            if self.current_epoch // save_epoch > prev // save_epoch:
+                save = True
+            self._ckpt_prev_epoch = self.current_epoch
         if iteration % cfg.checkpoint.save_latest_iter == 0:
             save, latest = True, True
         if self.checkpointer.reached_checkpointing_period():
@@ -648,12 +711,22 @@ class BaseTrainer:
         st = payload["state"]
         params = jax.tree.map(jnp.asarray, st["params"])
         new = dict(params=params)
+        if st.get("iteration") is not None and (self.is_inference or resume):
+            # The iteration is part of the model's effective state: schedules
+            # (coarse2fine level mask, normal epsilon, NeuS cos anneal) are
+            # derived from it, so inference on a trained checkpoint must
+            # evaluate at the TRAINED iteration even without a full resume,
+            # and a training resume continues from it.
+            # (The reference only does this in extract_mesh.py:75 — its
+            # test.py renders a freshly-loaded model with the coarse2fine
+            # schedule implicitly reset; we fix rather than replicate.)
+            # Training-side warm starts (resume=False) keep iteration 0.
+            self.current_iteration = int(st["iteration"])
         if resume and load_opt and st.get("opt_state") is not None:
             new["opt_state"] = jax.tree.map(
                 lambda t, s: jnp.asarray(s), self.state.opt_state, st["opt_state"]
             )
             new["iteration"] = jnp.asarray(st["iteration"], jnp.int32)
-            self.current_iteration = int(st["iteration"])
         if st.get("ema_params") is not None and self.ema_enabled:
             new["ema_params"] = jax.tree.map(jnp.asarray, st["ema_params"])
         self.state = self.state.replace(**new)
@@ -669,19 +742,34 @@ class BaseTrainer:
             return self.state.ema_params
         return self.state.params
 
-    @functools.cached_property
-    def _render_image_jit(self):
-        """One jitted program rendering ALL chunks of a full image.
+    def _eval_cond(self, cond_it, max_levels):
+        """Schedule inputs for eval renders, with the static level cap."""
+        cond = self.make_cond(cond_it)
+        if max_levels is not None:
+            cond = dict(cond)
+            cond["max_levels"] = max_levels
+        return cond
+
+    def _render_image_fn(self, static_kwargs: Tuple = ((), None)):
+        """One jitted program rendering a WINDOW of chunks of an image.
 
         The host chunk loop of the reference's ``ray_generator``
         (nerf_util.py:119-124) becomes a ``lax.map`` over fixed-size ray
         chunks inside a single dispatch — memory stays chunk-bounded while
-        dispatch latency is paid once per image instead of per chunk.
+        dispatch latency is paid once per window instead of per chunk.
+
+        ``static_kwargs`` (a sorted kv-tuple) is forwarded to
+        ``model.render_chunk`` — e.g. ``with_light_visibility=True`` for the
+        pseudo-label renderer — and keys the jit cache.
         """
+        cache = self.__dict__.setdefault("_render_image_fn_cache", {})
+        if static_kwargs in cache:
+            return cache[static_kwargs]
+        extra, max_levels = dict(static_kwargs[0]), static_kwargs[1]
 
         @functools.partial(jax.jit, static_argnums=(5,))
         def fn(params, center, ray, cond_it, rng, num_rays_chunk, pts_light=None):
-            cond = self.make_cond(cond_it)
+            cond = self._eval_cond(cond_it, max_levels)
             B, total = center.shape[0], center.shape[1]
             pad = (-total) % num_rays_chunk
             def prep(x):
@@ -691,14 +779,14 @@ class BaseTrainer:
             light_c = prep(pts_light) if pts_light is not None else None
 
             def render_one(args):
+                kwargs = dict(extra)
                 if light_c is not None:
                     c, r, l = args
-                    out = self.model.apply({"params": params}, c, r, cond, pts_light=l,
-                                           rng=rng, method=self.model.render_chunk)
+                    kwargs["pts_light"] = l
                 else:
                     c, r = args
-                    out = self.model.apply({"params": params}, c, r, cond,
-                                           rng=rng, method=self.model.render_chunk)
+                out = self.model.apply({"params": params}, c, r, cond,
+                                       rng=rng, method=self.model.render_chunk, **kwargs)
                 # Keep only per-ray [B,R,K] tensors (drop per-sample fields
                 # to bound memory across chunks).
                 return {k: v for k, v in out.items()
@@ -712,6 +800,7 @@ class BaseTrainer:
                     for k, v in outs.items()}
             return outs
 
+        cache[static_kwargs] = fn
         return fn
 
     def _use_fused_inference(self) -> bool:
@@ -723,12 +812,19 @@ class BaseTrainer:
             return bool(forced)
         return jax.default_backend() == "cpu"
 
-    @functools.cached_property
-    def _render_chunk_jit(self):
+    def _render_chunk_fn(self, static_kwargs: Tuple = ((), None)):
+        """Jitted single-chunk render, keyed on static render kwargs."""
+        cache = self.__dict__.setdefault("_render_chunk_fn_cache", {})
+        if static_kwargs in cache:
+            return cache[static_kwargs]
+        extra, max_levels = dict(static_kwargs[0]), static_kwargs[1]
+
         @jax.jit
         def fn(params, center, ray, cond_it, rng, pts_light=None):
-            cond = self.make_cond(cond_it)
-            kwargs = {"pts_light": pts_light} if pts_light is not None else {}
+            cond = self._eval_cond(cond_it, max_levels)
+            kwargs = dict(extra)
+            if pts_light is not None:
+                kwargs["pts_light"] = pts_light
             out = self.model.apply(
                 {"params": params}, center, ray, cond, rng=rng,
                 method=self.model.render_chunk, **kwargs,
@@ -737,13 +833,26 @@ class BaseTrainer:
                     if v is not None and hasattr(v, "ndim") and v.ndim == 3
                     and v.shape[1] == center.shape[1]}
 
+        cache[static_kwargs] = fn
         return fn
 
     def render_image(self, data: Dict[str, np.ndarray], image_size,
-                     num_rays_chunk: Optional[int] = None) -> Dict[str, np.ndarray]:
-        """Render full images (fused dispatch on CPU; chunked on TPU)."""
+                     num_rays_chunk: Optional[int] = None,
+                     render_kwargs: Optional[Dict[str, Any]] = None) -> Dict[str, np.ndarray]:
+        """Render full images (fused dispatch on CPU; chunked on TPU).
+
+        The single shared renderer behind validation, the inference suite,
+        and the pseudo-label (`render_image_light`) pass — fused, windowed,
+        and per-chunk dispatch strategies all live here.
+        """
         H, W = image_size
         num_rays_chunk = int(num_rays_chunk or self.num_val_rays())
+        # Static render config: extra render_chunk kwargs + the window-static
+        # coarse2fine level cap at the CURRENT iteration (keeps eval taps on
+        # the same exact/shared split as training — the traced level_mask
+        # stays authoritative, the cap only skips levels it would zero).
+        skw = (tuple(sorted((render_kwargs or {}).items())),
+               self.static_max_levels_for(self.current_iteration))
         pose = jnp.asarray(data["pose"])
         intr = jnp.asarray(data["intr"])
         center, ray = camera.get_center_and_ray(pose, intr, (H, W))
@@ -756,7 +865,7 @@ class BaseTrainer:
         rng = jax.random.PRNGKey(0)
         it = jnp.asarray(self.current_iteration, jnp.int32)
         if self._use_fused_inference():
-            out = self._render_image_jit(
+            out = self._render_image_fn(skw)(
                 params, center, ray, it, rng, num_rays_chunk, pts_light=pts_light,
             )
             return jax.device_get(out)
@@ -770,13 +879,14 @@ class BaseTrainer:
         wc = int(self.cfg.get("runtime", {}).get("inference_chunks_per_dispatch") or 1)
         if wc > 1:
             window = wc * num_rays_chunk
+            render_fn = self._render_image_fn(skw)
             chunks = []
             for c0 in range(0, total, window):
                 c1 = min(c0 + window, total)
                 pad = window - (c1 - c0)
                 sl = lambda x: (jnp.pad(x[:, c0:c1], ((0, 0), (0, pad), (0, 0)))
                                 if pad else x[:, c0:c1])
-                out = self._render_image_jit(
+                out = render_fn(
                     params, sl(center), sl(ray), it, rng, num_rays_chunk,
                     pts_light=sl(pts_light) if pts_light is not None else None,
                 )
@@ -784,12 +894,13 @@ class BaseTrainer:
                                for k, v in jax.device_get(out).items()})
             return {k: np.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]}
         # Host chunk loop (one dispatch per fixed-size chunk).
+        render_fn = self._render_chunk_fn(skw)
         chunks = []
         for c0 in range(0, total, num_rays_chunk):
             c1 = min(c0 + num_rays_chunk, total)
             pad = num_rays_chunk - (c1 - c0)
             sl = lambda x: jnp.pad(x[:, c0:c1], ((0, 0), (0, pad), (0, 0))) if pad else x[:, c0:c1]
-            out = self._render_chunk_jit(
+            out = render_fn(
                 params, sl(center), sl(ray), it, rng,
                 pts_light=sl(pts_light) if pts_light is not None else None,
             )

@@ -11,8 +11,6 @@ import os
 from functools import partial
 from typing import Dict, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mlinerf_tpu.config import register
@@ -204,83 +202,15 @@ class Trainer(AngeloTrainer):
         return maps
 
     def render_image_light(self, data, image_size, num_rays_chunk: Optional[int] = None):
-        """Full-image render with the light-visibility branch forced on —
-        fused dispatch on CPU, per-chunk dispatches on TPU (see
-        BaseTrainer._use_fused_inference)."""
-        from mlinerf_tpu.utils import camera as cam_util
+        """Full-image render with the light-visibility branch forced on.
 
-        H, W = image_size
-        num_rays_chunk = min(int(num_rays_chunk or self.num_val_rays()), H * W)
-        pose = jnp.asarray(data["pose"])
-        intr = jnp.asarray(data["intr"])
-        center, ray = cam_util.get_center_and_ray(pose, intr, (H, W))
-        light_center = cam_util.get_camera_center(jnp.asarray(data["pose_light"]), num_pixels=1)
-        pts_light = jnp.broadcast_to(light_center, ray.shape)
-        params = self.eval_params()
-        rng = jax.random.PRNGKey(0)
-        it = jnp.asarray(self.current_iteration, jnp.int32)
-        if self._use_fused_inference():
-            out = self._render_image_light_jit(
-                params, center, ray, it, rng, num_rays_chunk, pts_light,
-            )
-            return jax.device_get(out)
-        total = H * W
-        chunks = []
-        for c0 in range(0, total, num_rays_chunk):
-            c1 = min(c0 + num_rays_chunk, total)
-            pad = num_rays_chunk - (c1 - c0)
-            sl = lambda x: jnp.pad(x[:, c0:c1], ((0, 0), (0, pad), (0, 0))) if pad else x[:, c0:c1]
-            out = self._render_chunk_light_jit(
-                params, sl(center), sl(ray), it, rng, sl(pts_light)
-            )
-            chunks.append({k: np.asarray(v)[:, : c1 - c0] for k, v in jax.device_get(out).items()})
-        return {k: np.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]}
-
-    @property
-    def _render_chunk_light_jit(self):
-        if not hasattr(self, "_render_chunk_light_cached"):
-            @jax.jit
-            def fn(params, center, ray, cond_it, rng, pts_light):
-                cond = self.make_cond(cond_it)
-                out = self.model.apply(
-                    {"params": params}, center, ray, cond, pts_light=pts_light, rng=rng,
-                    with_light_visibility=True, method=self.model.render_chunk,
-                )
-                return {k: v for k, v in out.items()
-                        if v is not None and hasattr(v, "ndim") and v.ndim == 3
-                        and v.shape[1] == center.shape[1]}
-
-            self._render_chunk_light_cached = fn
-        return self._render_chunk_light_cached
-
-    @property
-    def _render_image_light_jit(self):
-        if not hasattr(self, "_render_image_light_cached"):
-            import functools
-
-            @functools.partial(jax.jit, static_argnums=(5,))
-            def fn(params, center, ray, cond_it, rng, num_rays_chunk, pts_light):
-                cond = self.make_cond(cond_it)
-                B, total = center.shape[0], center.shape[1]
-                pad = (-total) % num_rays_chunk
-
-                def prep(x):
-                    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-                    return x.reshape(B, -1, num_rays_chunk, 3).swapaxes(0, 1)
-
-                def render_one(args):
-                    c, r, l = args
-                    out = self.model.apply(
-                        {"params": params}, c, r, cond, pts_light=l, rng=rng,
-                        with_light_visibility=True, method=self.model.render_chunk,
-                    )
-                    return {k: v for k, v in out.items()
-                            if v is not None and hasattr(v, "ndim") and v.ndim == 3
-                            and v.shape[1] == num_rays_chunk}
-
-                outs = jax.lax.map(render_one, (prep(center), prep(ray), prep(pts_light)))
-                return {k: v.swapaxes(0, 1).reshape(B, -1, v.shape[-1])[:, :total]
-                        for k, v in outs.items()}
-
-            self._render_image_light_cached = fn
-        return self._render_image_light_cached
+        Thin wrapper over the shared ``BaseTrainer.render_image`` engine, so
+        the pseudo-label pass (the ~1,600-image stage-a→b render loop,
+        reference projects/NeuralLumen/trainer.py:217-316) gets the same
+        fused / windowed (``runtime.inference_chunks_per_dispatch``) /
+        per-chunk dispatch strategies as every other renderer.
+        """
+        return self.render_image(
+            data, image_size, num_rays_chunk=num_rays_chunk,
+            render_kwargs={"with_light_visibility": True},
+        )

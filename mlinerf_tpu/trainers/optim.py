@@ -23,19 +23,31 @@ import optax
 from mlinerf_tpu.utils.misc import get_schedule
 
 
-def make_optimizer(cfg_optim, max_iter: int = None) -> Tuple[optax.GradientTransformation, Callable]:
+def make_optimizer(cfg_optim, max_iter: int = None,
+                   grad_accum: int = 1) -> Tuple[optax.GradientTransformation, Callable]:
     """Build an optax optimizer with an LR schedule multiplier.
 
     Returns (tx, lr_fn) where lr_fn(step) gives the absolute learning rate
     for logging.
+
+    ``grad_accum > 1`` wraps the transformation in ``optax.MultiSteps``:
+    gradients from k consecutive steps are averaged and ONE inner update is
+    applied on the k-th (the reference's ``grad_accum_iter``,
+    imaginaire/trainers/base.py — k× larger effective batch). The inner
+    schedule is re-indexed by ``k * update_count`` so the LR follows the
+    outer iteration counter exactly as the reference's per-iteration
+    scheduler does.
     """
     name = cfg_optim.type.lower()
     params_cfg = dict(cfg_optim.get("params", {}))
     base_lr = params_cfg.pop("lr", 1e-3)
     sched_fn = get_schedule(cfg_optim.get("sched", {"type": "constant"}), max_iter=max_iter)
+    grad_accum = max(int(grad_accum or 1), 1)
 
     def lr_schedule(step):
-        return base_lr * sched_fn(step)
+        # `step` counts inner-optimizer updates; under accumulation each
+        # update corresponds to grad_accum outer iterations.
+        return base_lr * sched_fn(step * grad_accum)
 
     kwargs = {}
     if "weight_decay" in params_cfg:
@@ -65,7 +77,13 @@ def make_optimizer(cfg_optim, max_iter: int = None) -> Tuple[optax.GradientTrans
         tx = optax.radam(lr_schedule, **kwargs)
     else:
         raise NotImplementedError(f"Unknown optimizer {cfg_optim.type}")
-    return tx, lr_schedule
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+
+    def lr_logging(step):
+        return base_lr * sched_fn(step)
+
+    return tx, lr_logging
 
 
 def param_path_matches(path: Sequence, keywords: Sequence[str]) -> bool:
