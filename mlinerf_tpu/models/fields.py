@@ -81,11 +81,19 @@ class NeuralSDF(nn.Module):
             compute_dtype=self.compute_dtype,
         )
 
+    def _pallas_backward(self) -> bool:
+        # custom_vjp is reverse-mode-only: the analytical-gradient mode
+        # double-differentiates the encoder and must keep the plain XLA path.
+        grad_cfg = self.cfg_sdf.get("gradient", {}) or {}
+        mode = grad_cfg.get("mode", "numerical") if hasattr(grad_cfg, "get") else "numerical"
+        return mode != "analytical"
+
     def encode(self, points_3D, level_mask=None, max_levels=None):
         cfg_enc = self.cfg_sdf.encoding
         if cfg_enc.type == "hashgrid":
             feats = hashgrid.encode(self.table, points_3D, self.spec,
-                                    level_mask=level_mask, max_levels=max_levels)
+                                    level_mask=level_mask, max_levels=max_levels,
+                                    pallas_backward=self._pallas_backward())
         else:
             feats = enc.positional_encoding(points_3D, cfg_enc.levels)
             if level_mask is not None:
@@ -125,6 +133,7 @@ class NeuralSDF(nn.Module):
         feats = hashgrid.encode_stencil(
             self.table, points_3D, offsets, self.spec, level_mask=level_mask,
             shared_levels=shared_levels, max_levels=max_levels,
+            pallas_backward=self._pallas_backward(),
         )  # [..., 1+T, L*F]
         offs_all = jnp.concatenate(
             [jnp.zeros((1, 3), jnp.float32), offsets.astype(jnp.float32)], axis=0

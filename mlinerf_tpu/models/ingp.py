@@ -56,7 +56,7 @@ class INGPField(nerf_model.NeRFField):
         self.density_activ = get_activation(cfg.density_activ)
 
     def _encode_3D(self, points):
-        enc = hashgrid.encode(self.table, points, self.spec)
+        enc = hashgrid.encode(self.table, points, self.spec, pallas_backward=True)
         return jnp.concatenate([points, enc.astype(points.dtype)], axis=-1)
 
 

@@ -18,8 +18,8 @@ with a JAX implementation designed for XLA/TPU:
     them; the feature contraction (trilinear weights x 8 corners) maps to VPU
     ops.
 
-A Pallas kernel variant lives in ``hashgrid_pallas.py``; this module is the
-reference implementation and the fallback.
+This module is the XLA reference implementation; see ``PERF.md`` for the
+measured behavior of gathers/scatters on TPU v5e.
 """
 
 from __future__ import annotations
@@ -120,7 +120,20 @@ def _corner_indices(spec: HashGridSpec):
     return corners
 
 
-def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None):
+def _row_take_fn(pallas_backward: bool):
+    """Row-gather whose VJP routes through the Pallas VMEM scatter-accumulate
+    kernel when enabled and applicable (ops/hashgrid_pallas.py; falls back to
+    XLA's scatter-add per level). Disabled for double-differentiation users
+    (the analytical-gradient mode) — custom_vjp is reverse-mode-only."""
+    if pallas_backward:
+        from mlinerf_tpu.ops.hashgrid_pallas import take_rows
+
+        return take_rows
+    return lambda t, i: jnp.take(t, i, axis=0)
+
+
+def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
+           pallas_backward: bool = False):
     """Encode 3D points into concatenated per-level features.
 
     TPU layout note: a single batched gather over all (level, corner) pairs
@@ -166,6 +179,7 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None):
     dys = jnp.asarray(corners[:, 1:2])
     dzs = jnp.asarray(corners[:, 2:3])
 
+    take = _row_take_fn(pallas_backward)
     active_levels = spec.num_levels if max_levels is None else min(int(max_levels), spec.num_levels)
     outs = []
     for lv in range(active_levels):
@@ -196,7 +210,7 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None):
                 ^ iz * np.uint32(_PRIMES[2])
             ) % np.uint32(table_sizes[lv])
         idx = idx.astype(jnp.int32)  # [8,P]
-        feats = jnp.take(table[lv], idx.reshape(-1), axis=0).reshape(8, P, F)
+        feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
         out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))  # [F,P]
         if level_mask is not None:
             out_l = out_l * level_mask[lv].astype(out_l.dtype)
@@ -209,7 +223,8 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None):
 
 
 def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
-                   shared_levels: int = 0, max_levels=None):
+                   shared_levels: int = 0, max_levels=None,
+                   pallas_backward: bool = False):
     """Encode a stencil of points (center + taps) with shared corner gathers.
 
     The numerical-gradient path (reference
@@ -270,6 +285,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
     dys = jnp.asarray(corners[:, 1:2])
     dzs = jnp.asarray(corners[:, 2:3])
 
+    take = _row_take_fn(pallas_backward)
     active_levels = spec.num_levels if max_levels is None else min(int(max_levels), spec.num_levels)
     shared = min(int(shared_levels), active_levels)
     outs = [[] for _ in range(E)]  # per-eval list of [F,P] level features
@@ -306,7 +322,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
             iy = cy + dys.astype(jnp.uint32)
             iz = cz + dzs.astype(jnp.uint32)
             idx = level_index(ix, iy, iz, lv)
-            feats = jnp.take(table[lv], idx.reshape(-1), axis=0).reshape(8, P, F)
+            feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
             for e in range(E):
                 # Per-eval cell-relative position; NOT clamped to [0,1] —
                 # out-of-cell taps linearly extrapolate the center patch.
@@ -336,7 +352,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 iy = cy + dys.astype(jnp.uint32)
                 iz = cz + dzs.astype(jnp.uint32)
                 idx = level_index(ix, iy, iz, lv)
-                feats = jnp.take(table[lv], idx.reshape(-1), axis=0).reshape(8, P, F)
+                feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
                 wx = jnp.where(dxs == 1, fex, 1.0 - fex)
                 wy = jnp.where(dys == 1, fey, 1.0 - fey)
                 wz = jnp.where(dzs == 1, fez, 1.0 - fez)
