@@ -71,6 +71,12 @@ def build_bench_cfg():
         cfg.model.object.sdf.gradient.shared_levels = (
             shared if shared == "auto" else int(shared)
         )
+    # TPU-tuned table capacity (BENCH_DICT_SIZE=19 etc): scatter-add rate
+    # cliffs at VMEM-scale tables (PERF.md sweep: 12 -> 52.5 -> 119 Mrows/s
+    # at bf16 table sizes 2^22 / 2^19 / 2^14).
+    dict_size = os.environ.get("BENCH_DICT_SIZE")
+    if dict_size:
+        cfg.model.object.sdf.encoding.hashgrid.dict_size = int(dict_size)
     return cfg
 
 

@@ -110,3 +110,60 @@ def test_zero_sharded_tables_match_replicated(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x, np.float32), np.asarray(y, np.float32),
                                    rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="production-shape test; set RUN_SLOW=1")
+def test_zero_sharded_tables_production_shapes(tmp_path):
+    """Sharded-vs-replicated equivalence at PRODUCTION table shapes:
+    dict_size 2^22 (bf16) across all 16 levels, including odd-resolution
+    dense levels that fail the divisibility check and must stay replicated
+    (round-1 verdict item 8). dim=4 keeps host memory bounded; the row
+    counts (the thing the divisibility/min_rows edges care about) are the
+    production ones."""
+    from tests.test_train_e2e import tiny_lumen_cfg
+    from mlinerf_tpu.config import resolve
+
+    params_by_mode = {}
+    for shard_tables in (False, True):
+        cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=1)
+        cfg.model.render.rand_rays = 64
+        cfg.model.render.num_samples.coarse = 16
+        cfg.model.render.num_samples.fine = 4
+        enc = cfg.model.object.sdf.encoding
+        enc.levels = 16
+        enc.hashgrid.dict_size = 22
+        enc.hashgrid.min_logres = 5
+        enc.hashgrid.max_logres = 11
+        enc.hashgrid.dim = 4
+        enc.hashgrid.dtype = "bfloat16"  # production table dtype
+        cfg.runtime.mesh = "rays"
+        cfg.runtime.shard_tables = shard_tables
+        Dataset = resolve("dataset", cfg.data.type)
+        arrays = Dataset(cfg).as_arrays()
+        Trainer = resolve("trainer", cfg.trainer.type)
+        tr = Trainer(cfg, seed=0, logdir=str(tmp_path / f"prod_{shard_tables}"))
+        tr.train(arrays)
+        params_by_mode[shard_tables] = jax.device_get(tr.state.params)
+        if shard_tables:
+            sharded, replicated_tables = 0, 0
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tr.state.params)[0]:
+                path_str = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                                    for k in path)
+                if "hash_table" not in path_str or leaf.ndim != 2:
+                    continue
+                spec = leaf.sharding.spec
+                if leaf.shape[0] % 8 == 0 and leaf.shape[0] >= 8192:
+                    assert spec and spec[0] == "rays", (path_str, leaf.shape, spec)
+                    sharded += 1
+                else:
+                    # odd dense resolutions (res^3 % 8 != 0) stay replicated
+                    assert not spec or spec[0] is None, (path_str, leaf.shape, spec)
+                    replicated_tables += 1
+            assert sharded > 0 and replicated_tables > 0, (sharded, replicated_tables)
+
+    for x, y in zip(jax.tree.leaves(params_by_mode[False]),
+                    jax.tree.leaves(params_by_mode[True])):
+        np.testing.assert_allclose(np.asarray(x, np.float32), np.asarray(y, np.float32),
+                                   rtol=2e-3, atol=1e-5)
