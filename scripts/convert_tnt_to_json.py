@@ -88,14 +88,40 @@ def write_colmap_init_files(poses_w2c, out_dir, intr=None):
     with open(os.path.join(out_dir, "cameras.txt"), "w") as f:
         f.write(f"1 RADIAL {intr['w']} {intr['h']} {intr['fx']} "
                 f"{intr['cx']} {intr['cy']} 0 0\n")
+    _write_images_txt(poses_w2c, out_dir,
+                      {name: i for i, name in enumerate(sorted(poses_w2c), start=1)})
+    open(os.path.join(out_dir, "points3D.txt"), "w").close()
+
+
+def _write_images_txt(poses_w2c, out_dir, name2id):
     with open(os.path.join(out_dir, "images.txt"), "w") as f:
-        for img_id, name in enumerate(sorted(poses_w2c), start=1):
+        for name in sorted(poses_w2c):
+            if name not in name2id:
+                continue
             W2C = poses_w2c[name]
             q = rotmat2qvec(W2C[:3, :3])
             t = W2C[:3, 3]
-            f.write(f"{img_id} {q[0]} {q[1]} {q[2]} {q[3]} "
+            f.write(f"{name2id[name]} {q[0]} {q[1]} {q[2]} {q[3]} "
                     f"{t[0]} {t[1]} {t[2]} 1 {name}\n\n")
-    open(os.path.join(out_dir, "points3D.txt"), "w").close()
+
+
+def rewrite_images_txt_with_db_ids(db_path, out_dir, poses_w2c):
+    """Re-key images.txt by the ids COLMAP actually assigned.
+
+    The init files are written before the database exists (sequential
+    sorted-name ids); COLMAP may assign different ids at feature extraction,
+    and point_triangulator matches images BY ID — a mismatch silently pairs
+    log poses with the wrong frames (reference create_init_files reads the
+    name->id map from the db, convert_tnt_to_json.py:63-75)."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        name2id = {name: img_id for img_id, name in
+                   con.execute("SELECT image_id, name FROM images")}
+    finally:
+        con.close()
+    _write_images_txt(poses_w2c, out_dir, name2id)
 
 
 def load_ply_vertices(path):
@@ -180,6 +206,8 @@ def convert_scene(scene_path, scene, run_colmap=True):
               "--image_path", img_dir, "--ImageReader.camera_model=RADIAL",
               "--ImageReader.single_camera=true"])
         _run(["colmap", "sequential_matcher", "--database_path", db])
+        # Re-key images.txt by COLMAP's actual image ids before triangulating.
+        rewrite_images_txt_with_db_ids(db, sfm_dir, poses)
         _run(["colmap", "point_triangulator", "--database_path", db,
               "--image_path", img_dir, "--input_path", sfm_dir,
               "--output_path", sfm_dir,

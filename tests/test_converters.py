@@ -182,3 +182,29 @@ def test_load_ply_vertices_binary(tmp_path):
             f.write(struct.pack("<fffB", *p, 7))
     got = tnt.load_ply_vertices(str(path))
     np.testing.assert_allclose(got, pts, atol=1e-6)
+
+
+def test_tnt_images_txt_rekeyed_by_db_ids(tmp_path):
+    """images.txt must carry COLMAP's ACTUAL image ids, not sorted-name order
+    (round-1 advisor finding: id mismatch silently pairs poses with the wrong
+    frames in point_triangulator)."""
+    import sqlite3
+
+    poses = {f"im{i}.jpg": np.eye(4) for i in range(3)}
+    out = str(tmp_path / "sparse")
+    tnt.write_colmap_init_files(poses, out)
+    # COLMAP assigned ids in a scrambled order:
+    db_path = str(tmp_path / "database.db")
+    con = sqlite3.connect(db_path)
+    con.execute("CREATE TABLE images (image_id INTEGER PRIMARY KEY, name TEXT)")
+    scrambled = {"im0.jpg": 2, "im1.jpg": 3, "im2.jpg": 1}
+    for name, img_id in scrambled.items():
+        con.execute("INSERT INTO images VALUES (?, ?)", (img_id, name))
+    con.commit()
+    con.close()
+
+    tnt.rewrite_images_txt_with_db_ids(db_path, out, poses)
+    with open(os.path.join(out, "images.txt")) as f:
+        lines = [ln.split() for ln in f if ln.strip()]
+    got = {ln[-1]: int(ln[0]) for ln in lines}
+    assert got == scrambled

@@ -51,3 +51,90 @@ def test_calculate_metrics_alpha_gamma():
     assert m["mse"] < 1e-12
     m2 = M.calculate_metrics(pred, gt, gamma=2.2)
     assert m2["mse"] < 1e-12 and m2["ssim"] > 0.999
+
+
+def _random_lpips_npz(path, seed=0):
+    """Shape-correct random LPIPS(AlexNet) weights npz (test fixture)."""
+    rng = np.random.default_rng(seed)
+    layers = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3), (256, 256, 3)]
+    data = {}
+    for li, (cin, cout, k) in enumerate(layers):
+        data[f"conv{li}_w"] = rng.normal(0, 0.05, (k, k, cin, cout)).astype(np.float32)
+        data[f"conv{li}_b"] = rng.normal(0, 0.05, (1, 1, 1, cout)).astype(np.float32)
+        data[f"lin{li}_w"] = np.abs(rng.normal(0, 0.1, (1, 1, cout, 1))).astype(np.float32)
+    np.savez(path, **data)
+    return data
+
+
+def _torch_lpips_reference(weights, im0, im1):
+    """Independent torch implementation of LPIPS(AlexNet) on HWC images
+    in [0,1], same npz weight layout — the golden against which the JAX
+    path is checked (executes the exact computation of the reference's
+    lpips.LPIPS(net='alex', normalize=True))."""
+    import torch
+    import torch.nn.functional as tF
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def feats(img):
+        x = torch.from_numpy(np.asarray(img, np.float32)).permute(2, 0, 1)[None]
+        x = (x * 2.0 - 1.0 - shift) / scale
+        out = []
+        strides = [4, 1, 1, 1, 1]
+        pads = [2, 2, 1, 1, 1]
+        for li in range(5):
+            w = torch.from_numpy(weights[f"conv{li}_w"]).permute(3, 2, 0, 1)  # OIHW
+            b = torch.from_numpy(weights[f"conv{li}_b"]).reshape(-1)
+            x = tF.conv2d(x, w, b, stride=strides[li], padding=pads[li])
+            x = tF.relu(x)
+            out.append(x)
+            if li in (0, 1):
+                x = tF.max_pool2d(x, 3, stride=2)
+        return out
+
+    f0, f1 = feats(im0), feats(im1)
+    total = 0.0
+    for li in range(5):
+        a = f0[li] / (f0[li].norm(dim=1, keepdim=True) + 1e-10)
+        b = f1[li] / (f1[li].norm(dim=1, keepdim=True) + 1e-10)
+        diff = (a - b) ** 2
+        lin = torch.from_numpy(weights[f"lin{li}_w"]).permute(3, 2, 0, 1)
+        total = total + tF.conv2d(diff, lin).mean().item()
+    return total
+
+
+def test_lpips_stack_executes_and_matches_torch(tmp_path, monkeypatch):
+    """The JAX LPIPS path runs end to end and matches an independent torch
+    implementation on identical (synthetic) weights — validates the conv
+    stack itself; real-weight export stays gated on scripts/
+    export_lpips_weights.py (VERDICT round-1 item 7)."""
+    path = str(tmp_path / "lpips_alex.npz")
+    weights = _random_lpips_npz(path)
+    monkeypatch.setenv("LPIPS_WEIGHTS", path)
+    M._LPIPS_CACHE.clear()
+    rng = np.random.default_rng(3)
+    im0 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    im1 = np.clip(im0 + rng.normal(0, 0.1, im0.shape), 0, 1).astype(np.float32)
+
+    val = M.lpips(im0, im1)
+    assert val is not None and np.isfinite(val)
+    ref = _torch_lpips_reference(weights, im0, im1)
+    np.testing.assert_allclose(val, ref, rtol=2e-4, atol=2e-5)
+    # identical images score ~0
+    M._LPIPS_CACHE.clear()
+    assert abs(M.lpips(im0, im0)) < 1e-6
+    M._LPIPS_CACHE.clear()
+
+
+def test_metrics_harness_reports_lpips_with_weights(tmp_path, monkeypatch):
+    path = str(tmp_path / "lpips_alex.npz")
+    _random_lpips_npz(path)
+    monkeypatch.setenv("LPIPS_WEIGHTS", path)
+    M._LPIPS_CACHE.clear()
+    rng = np.random.default_rng(5)
+    pred = rng.uniform(0, 1, (32, 32, 3))
+    gt = rng.uniform(0, 1, (32, 32, 3))
+    m = M.calculate_metrics(pred, gt)
+    assert m["lpips"] is not None and np.isfinite(m["lpips"])
+    M._LPIPS_CACHE.clear()
