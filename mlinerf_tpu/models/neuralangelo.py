@@ -340,6 +340,28 @@ class Model(nn.Module):
             )
             sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
             gradients, hessians = numerical_gradients(sdf_taps, sdfs, taps, eps, train)
+            hess_cfg = grad_cfg.get("hessian", {}) or {}
+            if train and hess_cfg.get("mode", "shared") == "exact":
+                # Shared-level tap features are linear in the offset, so the
+                # second difference sees no encoder curvature there — the
+                # curvature loss is systematically underestimated (the
+                # round-1 stencil PSNR gap, PERF.md). Re-estimate the
+                # hessian from EXACT taps on a strided sample subset: the
+                # curvature loss is a mean over samples, so a subset is an
+                # unbiased (noisier) estimate at fraction*taps extra
+                # scatter rows instead of the full exact-tap cost.
+                frac = float(hess_cfg.get("fraction", 0.25))
+                k = max(int(round(1.0 / max(frac, 1e-6))), 1)
+                pts_sub = points[..., ::k, :]
+                sdf_sub = sdfs[..., ::k, :]
+                out_sub = outside[..., ::k]
+                pts_tap = pts_sub[..., None, :] + offsets  # [...,S/k,T,3]
+                sdf_taps_exact = self.sdf_only(pts_tap, cond)[..., 0]
+                _, hessians = numerical_gradients(
+                    sdf_taps_exact, sdf_sub, taps, eps, True)
+                # Pre-mask outside points: the subset shape no longer matches
+                # output["outside"], so the trainer skips its own masking.
+                hessians = hessians * (~out_sub[..., None]).astype(hessians.dtype)
         else:
             sdfs, feats = self.neural_sdf(points, level_mask=cond.get("level_mask"),
                                           max_levels=cond.get("max_levels"))

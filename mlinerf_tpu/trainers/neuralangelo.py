@@ -73,7 +73,12 @@ class Trainer(BaseTrainer):
             if "eikonal" in self.weights:
                 losses["eikonal"] = loss_lib.eikonal_loss(output["gradients"], outside=output["outside"])
             if "curvature" in self.weights and output.get("hessians") is not None:
-                losses["curvature"] = loss_lib.curvature_loss(output["hessians"], outside=output["outside"])
+                hess, outs = output["hessians"], output["outside"]
+                if hess.shape[:-1] != outs.shape:
+                    # Subset hessians (gradient.hessian.mode=exact) arrive
+                    # pre-masked by the model — shapes no longer align.
+                    outs = None
+                losses["curvature"] = loss_lib.curvature_loss(hess, outside=outs)
             metrics["s_var"] = output.get("s_var", jnp.zeros(()))
         else:
             target = batch["image"]

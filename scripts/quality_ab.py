@@ -83,6 +83,48 @@ def main():
             ("shared=auto (finest exact)", set_shared("auto")),
             (f"shared={L} (all)", set_shared(L)),
         ]
+    elif study == "dict":
+        # Capacity split: the TPU scatter rate cliffs on table bytes
+        # (PERF.md round-2 sweep), so smaller dict_size is the throughput
+        # lever. The toy scene's dict_size 16 stands in for production 22;
+        # a -3-bit cut mirrors 22 -> 19 proportionally.
+        def set_dict(n):
+            def f(cfg):
+                cfg.model.object.sdf.encoding.hashgrid.dict_size = n
+            return f
+
+        variants = [
+            ("dict=16 (config)", set_dict(16)),
+            ("dict=13 (-3 bits)", set_dict(13)),
+            ("dict=11 (-5 bits)", set_dict(11)),
+        ]
+    elif study == "budget":
+        # Equal-PSNR sample-budget floor (round-1 occ study: uniform holds
+        # PSNR at a quarter coarse budget on this scene; here the full
+        # coarse x hierarchy grid, no occupancy placement).
+        def set_budget(coarse, hier):
+            def f(cfg):
+                cfg.model.render.num_samples.coarse = coarse
+                cfg.model.render.num_sample_hierarchy = hier
+            return f
+
+        variants = [
+            ("coarse=48 hier=2 (config)", set_budget(48, 2)),
+            ("coarse=24 hier=2", set_budget(24, 2)),
+            ("coarse=16 hier=2", set_budget(16, 2)),
+            ("coarse=16 hier=1", set_budget(16, 1)),
+        ]
+    elif study == "headline":
+        # The round-2 candidate headline config vs the reference-shaped
+        # baseline: capacity split + budget cut together.
+        def set_headline(cfg):
+            cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
+            cfg.model.render.num_samples.coarse = 24
+
+        variants = [
+            ("baseline (dict=16, coarse=48)", lambda cfg: None),
+            ("headline (dict=13, coarse=24)", set_headline),
+        ]
     elif study == "occ":
         def set_occ(enabled, coarse, hier):
             def f(cfg):

@@ -215,3 +215,60 @@ def test_shared_levels_auto_equals_explicit_cap_minus_one(tmp_path):
     for a, b in zip(jax.tree.leaves(params_by["auto"]),
                     jax.tree.leaves(params_by["explicit"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exact_hessian_subset(tmp_path):
+    """gradient.hessian.mode=exact: the curvature hessian comes from EXACT
+    taps on a strided sample subset (shared-level tap features are linear in
+    the offset, so the shared-tap hessian misses encoder curvature). With
+    in-cell points + tiny eps the shared taps ARE exact, so the subset
+    hessian must equal the full exact-path hessian at the subset indices."""
+    from mlinerf_tpu.config import resolve
+    from mlinerf_tpu.models.fields import make_hashgrid_spec
+    from tests.test_train_e2e import tiny_lumen_cfg
+
+    def build(shared, hmode, fraction=0.5):
+        cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=2)
+        cfg.model.object.sdf.gradient.shared_levels = shared
+        cfg.model.object.sdf.gradient.hessian = {"mode": hmode, "fraction": fraction}
+        cfg.model.object.sdf.encoding.coarse2fine.enabled = False
+        Trainer = resolve("trainer", cfg.trainer.type)
+        return Trainer(cfg, seed=0, logdir=str(tmp_path / f"h_{shared}_{hmode}"))
+
+    tr_exact = build(0, "shared")
+    tr_fix = build(4, "exact", fraction=0.5)
+    spec = make_hashgrid_spec(tr_exact.cfg.model.object.sdf.encoding)
+    pts = _in_cell_points(jax.random.PRNGKey(0), spec, 16, margin=0.3).reshape(1, 16, 3)
+    outside = jnp.zeros(pts.shape[:-1], bool)
+    outs = {}
+    for name, tr in (("exact", tr_exact), ("fix", tr_fix)):
+        cond = dict(tr.make_cond(jnp.zeros((), jnp.int32)))
+        cond["normal_eps"] = jnp.asarray(1e-4, jnp.float32)
+        outs[name] = tr.model.apply(
+            {"params": tr.state.params}, pts, outside, cond, True,
+            method=tr.model.eval_field_with_gradients)
+    h_exact, h_fix = outs["exact"][3], outs["fix"][3]
+    assert h_fix.shape == (1, 8, 3)  # fraction=0.5 -> every 2nd sample
+    np.testing.assert_allclose(np.asarray(h_fix), np.asarray(h_exact[:, ::2]),
+                               rtol=1e-4, atol=2e-5)
+    # Gradients stay full-shape (shared-tap path).
+    assert outs["fix"][2].shape == (1, 16, 3)
+
+
+def test_train_step_with_exact_hessian(tmp_path):
+    """Training with the stencil + exact-hessian-subset stays finite and the
+    curvature loss is live (nonzero weight path exercised end to end)."""
+    from mlinerf_tpu.config import resolve
+    from tests.test_train_e2e import tiny_lumen_cfg
+
+    cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=4)
+    cfg.model.object.sdf.gradient.shared_levels = 3
+    cfg.model.object.sdf.gradient.hessian = {"mode": "exact", "fraction": 0.25}
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = Dataset(cfg).as_arrays()
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, logdir=str(tmp_path / "hfix"))
+    tr.train(arrays)
+    assert np.isfinite(tr.losses_host["render"])
+    assert np.isfinite(tr.losses_host.get("curvature", 0.0))
+    jax.clear_caches()
