@@ -123,7 +123,19 @@ def scatter_add_rows(idx, vals, table_size: int):
 
 
 def pallas_scatter_available(table_size: int, features: int) -> bool:
-    """True when the VMEM-accumulator kernel applies to this table."""
+    """True when the VMEM-accumulator kernel applies to this table.
+
+    OPT-IN (MLINERF_PALLAS_SCATTER=1): measured on v5e the kernel runs at
+    11.8 Mrows/s — the serial row loop's VMEM read-modify-write dependency
+    chain costs ~80 cycles/row, losing to XLA's native scatter at every
+    VMEM-scale table size (52-119 Mrows/s; PERF.md round-2 table). Kept as
+    the measured-and-rejected record + a base for future striped-accumulator
+    variants; the production path is XLA scatter onto capacity-split tables.
+    """
+    import os
+
+    if os.environ.get("MLINERF_PALLAS_SCATTER", "0") not in ("1", "on"):
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     if 128 % features != 0:

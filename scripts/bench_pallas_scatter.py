@@ -7,7 +7,11 @@ OOB-dropped (tests whether backward tap-merging would pay off).
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
