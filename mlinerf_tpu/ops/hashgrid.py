@@ -124,8 +124,15 @@ def _row_take_fn(pallas_backward: bool):
     """Row-gather whose VJP routes through the Pallas VMEM scatter-accumulate
     kernel when enabled and applicable (ops/hashgrid_pallas.py; falls back to
     XLA's scatter-add per level). Disabled for double-differentiation users
-    (the analytical-gradient mode) — custom_vjp is reverse-mode-only."""
-    if pallas_backward:
+    (the analytical-gradient mode) — custom_vjp is reverse-mode-only.
+
+    When the kernel is globally off (MLINERF_PALLAS_SCATTER unset — the
+    measured-and-rejected default, see hashgrid_pallas.py), return PLAIN
+    ``jnp.take``: the custom_vjp wrapper must not sit in the hot path at all,
+    so the XLA lowering is bit-identical to the pre-kernel round."""
+    import os
+
+    if pallas_backward and os.environ.get("MLINERF_PALLAS_SCATTER", "0") in ("1", "on"):
         from mlinerf_tpu.ops.hashgrid_pallas import take_rows
 
         return take_rows

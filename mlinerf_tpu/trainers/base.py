@@ -544,6 +544,15 @@ class BaseTrainer:
         # Steps fused into one dispatched program. Default: the full cadence
         # window (device-resident data + in-step schedules make this safe).
         spd = cfg.trainer.get("steps_per_dispatch")
+        # "auto": measure one real (post-compile) step, then size the window
+        # to a wall-time budget. The worker-fault bisection (PERF.md) shows
+        # the crash boundary tracks the per-WINDOW execution time of
+        # scatter-heavy programs (~70 s crashes, ~30 s clean at the HBM
+        # tier), so a time budget is the principled default — the static
+        # mode/size table below stays for the non-auto path.
+        auto_spd = isinstance(spd, str) and spd == "auto"
+        if auto_spd:
+            spd = 1
         if spd is None:
             # Scanned multi-step windows amortize per-dispatch host latency,
             # but too-large window PROGRAMS fault the TPU worker, and the
@@ -625,7 +634,21 @@ class BaseTrainer:
             n = min(n, to_boundary)
             self._train_max_levels = self.static_max_levels_for(it + n - 1)
             self.timer.start_iteration()
-            state, info = run(state, n, rng)
+            if auto_spd and it > start_iter and (n, self._train_max_levels) in loops:
+                # Time one real step on an ALREADY-COMPILED program (a
+                # level-growth retrace would inflate the measurement), with
+                # a forced sync, then lock the window size.
+                t0 = time.time()
+                state, info = run(state, n, rng)
+                jax.device_get(info["total"])
+                t_step = max((time.time() - t0) / n, 1e-6)
+                budget = float(cfg.trainer.get("dispatch_time_budget", 45.0))
+                spd = max(min(int(budget // t_step), 32, cadence), 1)
+                auto_spd = False
+                print(f"[trainer] auto steps_per_dispatch: {t_step:.2f} s/step "
+                      f"-> window {spd} (budget {budget:.0f} s)")
+            else:
+                state, info = run(state, n, rng)
             it += n
             iters_in_window += n
             self.current_iteration = it

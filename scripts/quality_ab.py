@@ -125,6 +125,26 @@ def main():
             ("baseline (dict=16, coarse=48)", lambda cfg: None),
             ("headline (dict=13, coarse=24)", set_headline),
         ]
+    elif study == "hessfix":
+        # Does the exact-tap strided hessian (gradient.hessian.mode=exact)
+        # recover the stencil PSNR gap? Compare against the exact path and
+        # the plain all-shared stencil at convergence.
+        probe = base_cfg("/tmp/quality_ab", iters)
+        L = probe.model.object.sdf.encoding.levels
+
+        def set_hess(shared, mode, fraction=0.25):
+            def f(cfg):
+                cfg.model.object.sdf.gradient.shared_levels = shared
+                cfg.model.object.sdf.gradient.hessian.mode = mode
+                cfg.model.object.sdf.gradient.hessian.fraction = fraction
+            return f
+
+        variants = [
+            ("exact (shared=0)", set_hess(0, "shared")),
+            (f"shared={L} hess=shared", set_hess(L, "shared")),
+            (f"shared={L} hess=exact f=0.25", set_hess(L, "exact", 0.25)),
+            (f"shared={L} hess=exact f=1.0", set_hess(L, "exact", 1.0)),
+        ]
     elif study == "occ":
         def set_occ(enabled, coarse, hier):
             def f(cfg):
@@ -145,6 +165,13 @@ def main():
     else:
         raise SystemExit(f"unknown AB_STUDY={study}")
 
+    # AB_VARIANTS: comma-separated substrings selecting a subset of the
+    # study's variants by name (saves serial CPU time when some cells are
+    # already measured — e.g. AB_VARIANTS="hess=exact").
+    sel = os.environ.get("AB_VARIANTS")
+    if sel:
+        keys = [s.strip() for s in sel.split(",") if s.strip()]
+        variants = [(n, m) for n, m in variants if any(k in n for k in keys)]
     for name, mutate in variants:
         run_variant(name, mutate, iters)
     print("DONE", flush=True)

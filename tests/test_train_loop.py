@@ -48,3 +48,26 @@ def test_train_entry_uses_windows(tmp_path):
     with open(os.path.join(str(tmp_path / "w"), "metrics.jsonl")) as f:
         recs = [json.loads(l) for l in f]
     assert [r["step"] for r in recs] == [3, 6, 9]
+
+
+def test_auto_dispatch_window(tmp_path, capsys):
+    """steps_per_dispatch: 'auto' measures one real step, locks a window from
+    the time budget, and still lands exactly on every cadence boundary."""
+    import json, os
+
+    cfg = tiny_nerf_cfg(tmp_path, max_iter=12)
+    cfg.logging_iter = 4
+    cfg.trainer.steps_per_dispatch = "auto"
+    # A huge budget must still clamp to the cadence (4) and the 32 cap.
+    cfg.trainer.dispatch_time_budget = 1e6
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = Dataset(cfg).as_arrays()
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, logdir=str(tmp_path / "auto"))
+    tr.train(arrays)
+    assert tr.current_iteration == 12
+    out = capsys.readouterr().out
+    assert "auto steps_per_dispatch" in out
+    with open(os.path.join(str(tmp_path / "auto"), "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert [r["step"] for r in recs] == [4, 8, 12]
