@@ -11,6 +11,7 @@ computed INSIDE the jitted step from the iteration counter via
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from mlinerf_tpu.config import register
 from mlinerf_tpu.models.neuralangelo import make_cond
@@ -74,9 +75,15 @@ class Trainer(BaseTrainer):
                 losses["eikonal"] = loss_lib.eikonal_loss(output["gradients"], outside=output["outside"])
             if "curvature" in self.weights and output.get("hessians") is not None:
                 hess, outs = output["hessians"], output["outside"]
-                if hess.shape[:-1] != outs.shape:
-                    # Subset hessians (gradient.hessian.mode=exact) arrive
-                    # pre-masked by the model — shapes no longer align.
+                # ``outside`` is per-ray ([B,R,1]) and broadcasts over the
+                # sample axis. Only drop it when it genuinely cannot mask
+                # this hessian (the strided-subset exact-hessian path, where
+                # the model pre-masks): i.e. the shapes don't broadcast to
+                # the laplacian's shape.
+                try:
+                    if np.broadcast_shapes(hess.shape[:-1], outs.shape) != hess.shape[:-1]:
+                        outs = None
+                except ValueError:
                     outs = None
                 losses["curvature"] = loss_lib.curvature_loss(hess, outside=outs)
             metrics["s_var"] = output.get("s_var", jnp.zeros(()))

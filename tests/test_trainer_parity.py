@@ -119,3 +119,37 @@ def test_render_image_light_dispatch_strategies_agree(tmp_path):
                 rtol=1e-5, atol=1e-5, err_msg=f"{name}/{key}",
             )
     assert "visibility" in outs["fused"] and "normal_x_light" in outs["fused"]
+
+
+def test_curvature_loss_masks_per_ray_outside(tmp_path):
+    """The curvature loss must mask outside rays via the per-ray broadcastable
+    ``outside`` flag ([B,R,1] against [B,R,N,3] hessians). Regression test: a
+    shape-equality guard once dropped the mask, letting the outside rays'
+    sentinel-SDF hessians (~1/eps^2) explode the loss."""
+    import jax.numpy as jnp
+
+    from mlinerf_tpu.config import resolve
+    from tests.test_train_e2e import tiny_lumen_cfg
+
+    cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=2)
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, seed=0, logdir=str(tmp_path / "m"))
+
+    B, R, N = 1, 8, 16
+    outside = jnp.zeros((B, R, 1), bool).at[:, ::2].set(True)
+    hess = jnp.where(outside[..., None], 1e9, 0.01) * jnp.ones((B, R, N, 3))
+    output = {
+        "rgb": jnp.zeros((B, R, 3)),
+        "gradients": jnp.ones((B, R, N, 3)),
+        "hessians": hess,
+        "outside": outside,
+    }
+    batch = {"image_sampled": jnp.zeros((B, R, 3))}
+    losses, _ = tr.compute_loss(output, batch, "train")
+    # Masked mean over (lap * inside): only inside rays' 0.03 survives.
+    assert float(losses["curvature"]) < 1.0, float(losses["curvature"])
+
+    # Strided-subset hessians (model pre-masked) must not crash either.
+    output["hessians"] = jnp.full((B, R, N // 4, 3), 0.01)
+    losses2, _ = tr.compute_loss(output, batch, "train")
+    assert float(losses2["curvature"]) < 1.0
