@@ -77,6 +77,17 @@ def build_bench_cfg():
     dict_size = os.environ.get("BENCH_DICT_SIZE")
     if dict_size:
         cfg.model.object.sdf.encoding.hashgrid.dict_size = int(dict_size)
+    # Sample-budget knobs (BENCH_COARSE / BENCH_HIER / BENCH_FINE): scatter
+    # rows scale with total samples/ray; quality floor measured by
+    # quality_ab.py AB_STUDY=budget. Round-1 caveat: per-ray totals far from
+    # a 128 multiple can regress layout (PERF.md) — measure, don't assume.
+    for env, key in (("BENCH_COARSE", "coarse"), ("BENCH_FINE", "fine")):
+        v = os.environ.get(env)
+        if v:
+            cfg.model.render.num_samples[key] = int(v)
+    hier = os.environ.get("BENCH_HIER")
+    if hier:
+        cfg.model.render.num_sample_hierarchy = int(hier)
     return cfg
 
 
