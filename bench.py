@@ -88,6 +88,21 @@ def build_bench_cfg():
     hier = os.environ.get("BENCH_HIER")
     if hier:
         cfg.model.render.num_sample_hierarchy = int(hier)
+    # Level/feature restructure (BENCH_LEVELS / BENCH_DIM): scatter-add is
+    # per-ROW latency-bound on v5e (PERF.md), so fewer levels with wider
+    # features cut gradient rows proportionally at constant encoding width
+    # (levels*dim) and constant per-level table capacity.
+    levels = os.environ.get("BENCH_LEVELS")
+    if levels:
+        cfg.model.object.sdf.encoding.levels = int(levels)
+        cfg.model.object.sdf.encoding.coarse2fine.init_active_level = min(
+            cfg.model.object.sdf.encoding.coarse2fine.init_active_level, int(levels))
+    dim = os.environ.get("BENCH_DIM")
+    if dim:
+        cfg.model.object.sdf.encoding.hashgrid.dim = int(dim)
+    width = os.environ.get("BENCH_SDF_WIDTH")
+    if width:
+        cfg.model.object.sdf.mlp.hidden_dim = int(width)
     return cfg
 
 

@@ -114,16 +114,53 @@ def main():
             ("coarse=16 hier=2", set_budget(16, 2)),
             ("coarse=16 hier=1", set_budget(16, 1)),
         ]
+    elif study == "lf":
+        # Level/feature restructure: scatter rows scale with levels (8 corner
+        # rows per level per eval) while encoding width = levels*dim stays
+        # constant — fewer, wider levels halve gradient rows per halving.
+        # Toy config is L=8 F=4; production is L=16 F=8.
+        def set_lf(levels, dim, init_active=None):
+            def f(cfg):
+                cfg.model.object.sdf.encoding.levels = levels
+                cfg.model.object.sdf.encoding.hashgrid.dim = dim
+                c2f = cfg.model.object.sdf.encoding.coarse2fine
+                c2f.init_active_level = (
+                    init_active if init_active is not None
+                    else min(c2f.init_active_level, levels))
+                # Keep the level-growth schedule spanning the same iteration
+                # range: half the levels -> double the step.
+                c2f.step = c2f.step * (8 // levels)
+            return f
+
+        variants = [
+            ("L=8 F=4 (config)", set_lf(8, 4)),
+            ("L=4 F=8", set_lf(4, 8, init_active=2)),
+            ("L=4 F=16", set_lf(4, 16, init_active=2)),
+        ]
     elif study == "headline":
         # The round-2 candidate headline config vs the reference-shaped
-        # baseline: capacity split + budget cut together.
+        # baseline: capacity split + sample-budget cut + level/feature
+        # restructure together (toy mirror of prod dict 22->19,
+        # coarse 64->32 / hier 4->2, L16F8 -> L8F16).
         def set_headline(cfg):
             cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
             cfg.model.render.num_samples.coarse = 24
+            cfg.model.render.num_sample_hierarchy = 1
+            cfg.model.object.sdf.encoding.levels = 4
+            cfg.model.object.sdf.encoding.hashgrid.dim = 8
+            c2f = cfg.model.object.sdf.encoding.coarse2fine
+            c2f.init_active_level = 2
+            c2f.step = c2f.step * 2
+
+        def set_headline_nolf(cfg):
+            cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
+            cfg.model.render.num_samples.coarse = 24
+            cfg.model.render.num_sample_hierarchy = 1
 
         variants = [
             ("baseline (dict=16, coarse=48)", lambda cfg: None),
-            ("headline (dict=13, coarse=24)", set_headline),
+            ("headline (dict13 coarse24 hier1 L4F8)", set_headline),
+            ("headline-nolf (dict13 coarse24 hier1)", set_headline_nolf),
         ]
     elif study == "hessfix":
         # Does the exact-tap strided hessian (gradient.hessian.mode=exact)
