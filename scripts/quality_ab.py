@@ -162,6 +162,28 @@ def main():
             ("headline (dict13 coarse24 hier1 L4F8)", set_headline),
             ("headline-nolf (dict13 coarse24 hier1)", set_headline_nolf),
         ]
+    elif study == "prodshape":
+        # Faithful toy mirror of the PRODUCTION level/feature restructure
+        # (L16F8 -> L8F16): the toy-native halving (L8->L4, 'lf'/'headline'
+        # studies) overstates the cost because 4 levels span the resolution
+        # range with growth 2.5 vs production's 1.8. Here both variants use
+        # prod-like level counts and growth factors; B halves levels AND
+        # total params exactly as dict19L16F8 -> dict18L8F16 does. Sample
+        # budget identical in both (the budget cut is gated separately).
+        def set_shape(levels, dim, dict_size):
+            def f(cfg):
+                e = cfg.model.object.sdf.encoding
+                e.levels = levels
+                e.hashgrid.dim = dim
+                e.hashgrid.dict_size = dict_size
+                e.coarse2fine.init_active_level = min(4, levels)
+                e.coarse2fine.step = e.coarse2fine.step * (16 // levels) // 2
+            return f
+
+        variants = [
+            ("A: L16 F4 dict13 (prod-shaped ref)", set_shape(16, 4, 13)),
+            ("B: L8 F8 dict12 (prod-shaped headline)", set_shape(8, 8, 12)),
+        ]
     elif study == "hessfix":
         # Does the exact-tap strided hessian (gradient.hessian.mode=exact)
         # recover the stencil PSNR gap? Compare against the exact path and

@@ -13,16 +13,16 @@ run() { # run <logname> <env...>
   tail -n 6 "$log"
 }
 
-# 1) Composed headline config, 3 seeds (gates the bench default flip).
-run headline_s0.log AB_STUDY=headline AB_ITERS=800 AB_SEED=0
-run headline_s1.log AB_STUDY=headline AB_ITERS=800 AB_SEED=1
-run headline_s2.log AB_STUDY=headline AB_ITERS=800 AB_SEED=2
-# 2) dict study multi-seed completion (seed 0 already in PERF.md).
-run dict_s1.log AB_STUDY=dict AB_ITERS=800 AB_SEED=1 AB_VARIANTS="dict=16,dict=13"
-run dict_s2.log AB_STUDY=dict AB_ITERS=800 AB_SEED=2 AB_VARIANTS="dict=16,dict=13"
-# 3) Individual-knob attribution at seed 0.
-run budget_s0.log AB_STUDY=budget AB_ITERS=800 AB_SEED=0
-run lf_s0.log AB_STUDY=lf AB_ITERS=800 AB_SEED=0
-# 4) Stencil hessian fix (VERDICT item 6).
+# 1) Prod-shaped level/feature restructure gate (L16->L8 at prod growth
+#    factors) — the toy-native L8->L4 halving is a flawed mirror.
+run prodshape_s0.log AB_STUDY=prodshape AB_ITERS=800 AB_SEED=0
+run prodshape_s1.log AB_STUDY=prodshape AB_ITERS=800 AB_SEED=1
+# 2) dict+budget cut gate, remaining seeds (s0: baseline 22.02 vs
+#    headline-nolf 21.96 — passed; the L4F8 variant is excluded as a bad
+#    mirror, superseded by prodshape).
+run headline_s1.log AB_STUDY=headline AB_ITERS=800 AB_SEED=1 AB_VARIANTS="baseline,nolf"
+run headline_s2.log AB_STUDY=headline AB_ITERS=800 AB_SEED=2 AB_VARIANTS="baseline,nolf"
+run prodshape_s2.log AB_STUDY=prodshape AB_ITERS=800 AB_SEED=2
+# 3) Stencil hessian fix (VERDICT item 6).
 run hessfix_s0.log AB_STUDY=hessfix AB_ITERS=800 AB_SEED=0
 echo "QUEUE DONE $(date +%H:%M:%S)"
