@@ -124,6 +124,15 @@ def build_bench_cfg():
     width = os.environ.get("BENCH_SDF_WIDTH")
     if width:
         cfg.model.object.sdf.mlp.hidden_dim = int(width)
+    # Stencil curvature-fix knobs (BENCH_HESS_MODE=exact, BENCH_HESS_FRACTION):
+    # exact-tap hessian on a strided sample subset under the shared-tap
+    # stencil (models/neuralangelo.py eval_field_with_gradients).
+    hess_mode = os.environ.get("BENCH_HESS_MODE")
+    if hess_mode:
+        cfg.model.object.sdf.gradient.hessian.mode = hess_mode
+    hess_frac = os.environ.get("BENCH_HESS_FRACTION")
+    if hess_frac:
+        cfg.model.object.sdf.gradient.hessian.fraction = float(hess_frac)
     return cfg
 
 

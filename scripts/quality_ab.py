@@ -180,9 +180,70 @@ def main():
                 e.coarse2fine.step = e.coarse2fine.step * (16 // levels) // 2
             return f
 
+        def set_shape_wide(levels, dim, dict_size):
+            base = set_shape(levels, dim, dict_size)
+
+            def f(cfg):
+                base(cfg)
+                # Width recovery: the MXU is ~1% utilized on TPU, so doubling
+                # the SDF MLP is nearly free there (BENCH_SDF_WIDTH probe);
+                # tests whether MLP capacity recovers the level-halving gap.
+                cfg.model.object.sdf.mlp.hidden_dim = (
+                    cfg.model.object.sdf.mlp.hidden_dim * 2)
+            return f
+
         variants = [
             ("A: L16 F4 dict13 (prod-shaped ref)", set_shape(16, 4, 13)),
             ("B: L8 F8 dict12 (prod-shaped headline)", set_shape(8, 8, 12)),
+            ("C: B + 2x SDF width", set_shape_wide(8, 8, 12)),
+        ]
+    elif study == "attrib":
+        # Seed-1 collapse attribution. At seed 1 every reduced config so far
+        # lands ~20.1 dB vs ~22.4 baseline (stencil round 1, prodshape L8,
+        # headline-nolf) — a ~2.3 dB cliff, not graded degradation,
+        # suggesting a bistable geometry failure the reductions tip over.
+        # Isolate which knob tips it: dict alone, coarse alone, hierarchy
+        # alone, and the pairwise dict+coarse (hier kept).
+        def knobs(dict_size=None, coarse=None, hier=None):
+            def f(cfg):
+                if dict_size is not None:
+                    cfg.model.object.sdf.encoding.hashgrid.dict_size = dict_size
+                if coarse is not None:
+                    cfg.model.render.num_samples.coarse = coarse
+                if hier is not None:
+                    cfg.model.render.num_sample_hierarchy = hier
+            return f
+
+        variants = [
+            ("dict13 only", knobs(dict_size=13)),
+            ("coarse24 only", knobs(coarse=24)),
+            ("hier1 only", knobs(hier=1)),
+            ("dict13+coarse24 (hier2)", knobs(dict_size=13, coarse=24)),
+        ]
+    elif study == "lvl12":
+        # Milder level cut than prodshape's halving (which failed its gate:
+        # -0.25/-2.08 dB by seed): L16 -> L12 at prod-like growth. Compare
+        # against the prodshape A control (same config) measured in the same
+        # seed's prodshape log.
+        def set_shape12(cfg):
+            e = cfg.model.object.sdf.encoding
+            e.levels = 12
+            e.hashgrid.dim = 4
+            e.hashgrid.dict_size = 13
+            e.coarse2fine.init_active_level = 4
+            e.coarse2fine.step = int(e.coarse2fine.step * 16 / 12 / 2)
+
+        def set_shape16(cfg):
+            e = cfg.model.object.sdf.encoding
+            e.levels = 16
+            e.hashgrid.dim = 4
+            e.hashgrid.dict_size = 13
+            e.coarse2fine.init_active_level = 4
+            e.coarse2fine.step = e.coarse2fine.step // 2
+
+        variants = [
+            ("A: L16 F4 dict13 (prod-shaped ref)", set_shape16),
+            ("D: L12 F4 dict13", set_shape12),
         ]
     elif study == "hessfix":
         # Does the exact-tap strided hessian (gradient.hessian.mode=exact)

@@ -1,7 +1,12 @@
 #!/bin/bash
 # Serial quality-A/B queue (single-CPU box: never run two studies at once).
-# Writes one log per study cell under /tmp/ab_logs; round-2 evidence for the
-# TPU-tuned headline config (PERF.md). Usage: bash scripts/run_ab_queue.sh
+# Logs under /tmp/ab_logs; cells already containing DONE are skipped, so the
+# queue is idempotent and restartable. Round-2 evidence ledger: PERF.md.
+#
+# 800-iter caveat discovered mid-round: the toy schedule (coarse2fine step
+# 200, warm-up 200, LR two_steps at [1200,1600]) means an 800-iter run stops
+# mid-annealing (4/8 levels active) at full LR. 2000 iters is the toy
+# scene's designed convergence length — the decisive gates run there.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/ab_logs
@@ -13,16 +18,17 @@ run() { # run <logname> <env...>
   tail -n 6 "$log"
 }
 
-# 1) Prod-shaped level/feature restructure gate (L16->L8 at prod growth
-#    factors) — the toy-native L8->L4 halving is a flawed mirror.
-run prodshape_s0.log AB_STUDY=prodshape AB_ITERS=800 AB_SEED=0
-run prodshape_s1.log AB_STUDY=prodshape AB_ITERS=800 AB_SEED=1
-# 2) dict+budget cut gate, remaining seeds (s0: baseline 22.02 vs
-#    headline-nolf 21.96 — passed; the L4F8 variant is excluded as a bad
-#    mirror, superseded by prodshape).
-run headline_s1.log AB_STUDY=headline AB_ITERS=800 AB_SEED=1 AB_VARIANTS="baseline,nolf"
-run headline_s2.log AB_STUDY=headline AB_ITERS=800 AB_SEED=2 AB_VARIANTS="baseline,nolf"
-run prodshape_s2.log AB_STUDY=prodshape AB_ITERS=800 AB_SEED=2
-# 3) Stencil hessian fix (VERDICT item 6).
-run hessfix_s0.log AB_STUDY=hessfix AB_ITERS=800 AB_SEED=0
+# 1) Truncation-hypothesis test: does the seed-1 "collapse" of the reduced
+#    config persist at convergence length?
+run nolf2000_s1.log AB_STUDY=headline AB_ITERS=2000 AB_SEED=1 AB_VARIANTS="nolf"
+run base2000_s1.log AB_STUDY=headline AB_ITERS=2000 AB_SEED=1 AB_VARIANTS="baseline"
+# 2) Same pair at seed 0 (convergence-length control for the -0.06 result).
+run nolf2000_s0.log AB_STUDY=headline AB_ITERS=2000 AB_SEED=0 AB_VARIANTS="nolf"
+run base2000_s0.log AB_STUDY=headline AB_ITERS=2000 AB_SEED=0 AB_VARIANTS="baseline"
+# 3) Stencil hessian fix (VERDICT item 6) at convergence length, seed 1
+#    (the stencil's worst seed in the round-1 800-iter ledger).
+run hessfix2000_s1.log AB_STUDY=hessfix AB_ITERS=2000 AB_SEED=1 AB_VARIANTS="hess=exact f=0.25,exact (shared=0)"
+# 4) Level cut at convergence length, seed 1.
+run lvl12_2000_s1.log AB_STUDY=lvl12 AB_ITERS=2000 AB_SEED=1
+run prodshape2000_s1.log AB_STUDY=prodshape AB_ITERS=2000 AB_SEED=1 AB_VARIANTS="B:"
 echo "QUEUE DONE $(date +%H:%M:%S)"
