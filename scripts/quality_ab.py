@@ -265,6 +265,27 @@ def main():
             (f"shared={L} hess=exact f=0.25", set_hess(L, "exact", 0.25)),
             (f"shared={L} hess=exact f=1.0", set_hess(L, "exact", 1.0)),
         ]
+    elif study == "composed":
+        # Toy mirror of the COMPOSED production fast path (1905.6 rays/s on
+        # the chip): dict+budget cut (headline-nolf) + all-shared stencil +
+        # exact strided hessian, gated together because knob interactions
+        # (e.g. stencil error at reduced capacity) are not covered by the
+        # independent single-knob gates.
+        probe = base_cfg("/tmp/quality_ab", iters)
+        L = probe.model.object.sdf.encoding.levels
+
+        def set_composed(cfg):
+            cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
+            cfg.model.render.num_samples.coarse = 24
+            cfg.model.render.num_sample_hierarchy = 1
+            cfg.model.object.sdf.gradient.shared_levels = L
+            cfg.model.object.sdf.gradient.hessian.mode = "exact"
+            cfg.model.object.sdf.gradient.hessian.fraction = 0.25
+
+        variants = [
+            ("baseline (dict=16, coarse=48)", lambda cfg: None),
+            ("composed (nolf+stencil+hessfix)", set_composed),
+        ]
     elif study == "occ":
         def set_occ(enabled, coarse, hier):
             def f(cfg):
