@@ -76,15 +76,31 @@ def build_bench_cfg():
         cfg.model.object.sdf.gradient.shared_levels = (
             shared if shared == "auto" else int(shared)
         )
-    # Named config families (BENCH_CONFIG): "reference" keeps the reference's
-    # published shape (dict 2^22, 16 levels x F8, 64+4x16 samples);
-    # "tuned" is the TPU-tuned operating point — same exact 4-tap gradient
-    # semantics, row counts cut where the scatter wall is (PERF.md round-2
-    # table: dict18 + L8F16 + 32+2x16 samples = 2363 rays/s vs 152.5), with
-    # the 800-iter multi-seed quality gates recorded in PERF.md.
+    # Named config families (BENCH_CONFIG), the round-2 candidate ladder
+    # (PERF.md, each measured on the chip in a fresh process; quality gates
+    # are 2000-iter convergence-length A/Bs on the synthetic scene):
+    #   reference — the reference's published shape (dict 2^22, L16 F8,
+    #               64+4x16 samples), exact 4-tap gradients. 152.5 rays/s.
+    #   budget    — dict19 + 32+2x16 samples (exact taps). 872.7 rays/s.
+    #   lvl12     — budget + L16 -> L12 (exact taps). 1162.7 rays/s.
+    #   composed  — budget + all-shared stencil + exact strided hessian
+    #               (f=0.25). 1905.6 rays/s.
+    #   tuned     — dict18 + L8F16 + budget (exact taps). 2363.1 rays/s;
+    #               level-halving FAILED its toy gate (seed-1 -2.08 dB at
+    #               800 iters; convergence re-judge queued) — opt-in only.
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
-    if named == "tuned":
-        e = cfg.model.object.sdf.encoding
+    e = cfg.model.object.sdf.encoding
+    if named in ("budget", "lvl12", "composed"):
+        e.hashgrid.dict_size = 19
+        cfg.model.render.num_samples.coarse = 32
+        cfg.model.render.num_sample_hierarchy = 2
+        if named == "lvl12":
+            e.levels = 12
+        elif named == "composed":
+            cfg.model.object.sdf.gradient.shared_levels = e.levels
+            cfg.model.object.sdf.gradient.hessian.mode = "exact"
+            cfg.model.object.sdf.gradient.hessian.fraction = 0.25
+    elif named == "tuned":
         e.hashgrid.dict_size = 18
         e.levels = 8
         e.hashgrid.dim = 16
@@ -210,12 +226,21 @@ def main():
     # with the gradient-mode default.
     shared_default = os.environ.get("BENCH_SHARED_LEVELS", "0") not in ("0", "")
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
-    if shared_default:
+    if shared_default or named == "composed":
+        # Stencil programs run 32-step windows clean (soak, PERF.md);
+        # composed at 1.07 s/step keeps the window ~34 s < 45 s budget.
         default_spd = 32
     elif named == "tuned":
         # 0.87 s/step measured: 16-step windows (~14 s) sit well under the
         # 45 s worker-fault budget; spd=32 measures the same rate (PERF.md).
         default_spd = 16
+    elif named == "lvl12":
+        # 1.76 s/step; the 480-step soak ran 30 consecutive 16-step windows
+        # fault-free (PERF.md).
+        default_spd = 16
+    elif named == "budget":
+        # 2.35 s/step measured clean at spd=8 (~19 s windows).
+        default_spd = 8
     else:
         default_spd = 5
     spd = int(os.environ.get("BENCH_SPD", default_spd))
