@@ -263,6 +263,7 @@ def main():
             ("exact (shared=0)", set_hess(0, "shared")),
             (f"shared={L} hess=shared", set_hess(L, "shared")),
             (f"shared={L} hess=exact f=0.25", set_hess(L, "exact", 0.25)),
+            (f"shared={L} hess=exact f=0.125", set_hess(L, "exact", 0.125)),
             (f"shared={L} hess=exact f=1.0", set_hess(L, "exact", 1.0)),
         ]
     elif study == "composed":
