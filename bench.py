@@ -85,21 +85,26 @@ def build_bench_cfg():
     #   lvl12     — budget + L16 -> L12 (exact taps). 1162.7 rays/s.
     #   composed  — budget + all-shared stencil + exact strided hessian
     #               (f=0.25). 1905.6 rays/s.
+    #   composed12 / composed12f8 — composed + L16 -> L12 (and hessian
+    #               fraction 0.25 -> 0.125 for the f8 variant): the two
+    #               independently-gated row cuts composed; gated together
+    #               by the composed12 study (knob interactions).
     #   tuned     — dict18 + L8F16 + budget (exact taps). 2363.1 rays/s;
     #               level-halving FAILED its toy gate (seed-1 -2.08 dB at
     #               800 iters; convergence re-judge queued) — opt-in only.
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
     e = cfg.model.object.sdf.encoding
-    if named in ("budget", "lvl12", "composed"):
+    if named in ("budget", "lvl12", "composed", "composed12", "composed12f8"):
         e.hashgrid.dict_size = 19
         cfg.model.render.num_samples.coarse = 32
         cfg.model.render.num_sample_hierarchy = 2
-        if named == "lvl12":
+        if named in ("lvl12", "composed12", "composed12f8"):
             e.levels = 12
-        elif named == "composed":
+        if named.startswith("composed"):
             cfg.model.object.sdf.gradient.shared_levels = e.levels
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
-            cfg.model.object.sdf.gradient.hessian.fraction = 0.25
+            cfg.model.object.sdf.gradient.hessian.fraction = (
+                0.125 if named == "composed12f8" else 0.25)
     elif named == "tuned":
         e.hashgrid.dict_size = 18
         e.levels = 8

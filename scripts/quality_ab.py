@@ -287,6 +287,40 @@ def main():
             ("baseline (dict=16, coarse=48)", lambda cfg: None),
             ("composed (nolf+stencil+hessfix)", set_composed),
         ]
+    elif study == "composed12":
+        # Toy mirror of composed12 / composed12f8 (bench.py): the L16 -> L12
+        # level cut AND the dict+budget+stencil+exact-hessian composition
+        # together. Each knob passed (or is gating) independently; this cell
+        # gates their interaction. Control is the prod-shaped L16 reference
+        # (same as the prodshape/lvl12 studies' A cell, re-run here so the
+        # pair shares a process/seed).
+        def shape(levels):
+            def f(cfg):
+                e = cfg.model.object.sdf.encoding
+                e.levels = levels
+                e.hashgrid.dim = 4
+                e.hashgrid.dict_size = 13
+                e.coarse2fine.init_active_level = 4
+                e.coarse2fine.step = int(e.coarse2fine.step * 16 / levels / 2)
+            return f
+
+        def set_composed12(fraction):
+            base = shape(12)
+
+            def f(cfg):
+                base(cfg)
+                cfg.model.render.num_samples.coarse = 24
+                cfg.model.render.num_sample_hierarchy = 1
+                cfg.model.object.sdf.gradient.shared_levels = 12
+                cfg.model.object.sdf.gradient.hessian.mode = "exact"
+                cfg.model.object.sdf.gradient.hessian.fraction = fraction
+            return f
+
+        variants = [
+            ("A: L16 F4 dict13 (prod-shaped ref)", shape(16)),
+            ("composed12 f=0.25", set_composed12(0.25)),
+            ("composed12 f=0.125", set_composed12(0.125)),
+        ]
     elif study == "occ":
         def set_occ(enabled, coarse, hier):
             def f(cfg):
