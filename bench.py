@@ -154,6 +154,17 @@ def build_bench_cfg():
     hess_frac = os.environ.get("BENCH_HESS_FRACTION")
     if hess_frac:
         cfg.model.object.sdf.gradient.hessian.fraction = float(hess_frac)
+    # Importance-subsampled encoder gradients (BENCH_TOPK / BENCH_TOPK_STRIDE):
+    # backward scatter rows drop to ~K/S at one extra no-grad forward
+    # (models/neuralangelo.py eval_field_grad_subsampled; AB_STUDY=topk gates).
+    topk = os.environ.get("BENCH_TOPK")
+    if topk:
+        sub = cfg.model.object.sdf.gradient.subsample
+        sub.enabled = True
+        sub.topk = int(topk)
+        st = os.environ.get("BENCH_TOPK_STRIDE")
+        if st is not None:
+            sub.stride = int(st)
     return cfg
 
 

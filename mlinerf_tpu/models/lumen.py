@@ -167,8 +167,8 @@ class Model(AngeloModel):
                                  app, cond, stratified, rng, train: bool):
         dists = self.sample_dists_all(center, ray_unit, near, far, cond, stratified, rng)
         points = camera.get_3D_points_from_dist(center, ray_unit, dists)
-        sdfs, feats, gradients, hessians = self.eval_field_with_gradients(
-            points, outside, cond, train
+        sdfs, feats, gradients, hessians = self.eval_field_for_render(
+            points, outside, cond, train, ray_unit, dists, far
         )
         rays_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)
         normals = loss_lib.safe_normalize(gradients)

@@ -369,6 +369,75 @@ class Model(nn.Module):
             gradients, hessians = self.compute_gradients(points, cond, training=train, sdf=sdfs)
         return sdfs, feats, gradients, hessians
 
+    def eval_field_for_render(self, points, outside, cond, train, ray_unit, dists, far):
+        """Field evaluation entry for the object render path.
+
+        Dispatches to the importance-subsampled gradient path
+        (``gradient.subsample.enabled``) during training, else to the plain
+        :meth:`eval_field_with_gradients`.
+        """
+        sub = self.cfg_model.object.sdf.gradient.get("subsample")
+        if train and sub and sub.get("enabled"):
+            return self.eval_field_grad_subsampled(
+                points, outside, cond, ray_unit, dists, far)
+        return self.eval_field_with_gradients(points, outside, cond, train)
+
+    def eval_field_grad_subsampled(self, points, outside, cond, ray_unit, dists, far):
+        """Importance-subsampled encoder gradients (train only).
+
+        Backward scatter-add rows into the hash tables scale with the number
+        of GRADIENT-BEARING sample evaluations, not with what the forward
+        composite needs — and the train step is scatter-bound at every gated
+        config (PERF.md). So: evaluate the field for ALL samples with
+        gradients stopped, select the ``topk`` highest compositing-weight
+        samples per ray (plus every ``stride``-th sample as a coverage set so
+        empty space keeps eikonal/opacity supervision), re-evaluate only the
+        selected samples differentiably, and merge by sample index. The loss
+        VALUES are unchanged w.r.t. the full forward (identical composite);
+        parameter gradients become an importance-weighted subsample over
+        samples — quality-gated like every other row cut
+        (scripts/quality_ab.py AB_STUDY=topk).
+
+        Cost model (v5e): pays one extra no-grad forward (gathers, ~10x
+        cheaper than scatters) to cut backward scatter rows to K/S.
+        """
+        sub = self.cfg_model.object.sdf.gradient.subsample
+        ng = jax.lax.stop_gradient(
+            self.eval_field_with_gradients(points, outside, cond, train=False)
+        )
+        sdfs_ng, feats_ng, grads_ng, _ = ng
+        alphas = self.compute_neus_alphas(
+            ray_unit, sdfs_ng, grads_ng, dists, dist_far=far[..., None],
+            progress=cond["progress"],
+        )
+        weights = render.alpha_compositing_weights(alphas)[..., 0]  # [B,R,S]
+        num = weights.shape[-1]
+        k = min(int(sub.get("topk", 24)), num)
+        _, idx = jax.lax.top_k(weights, k)  # [B,R,k]
+        stride = int(sub.get("stride", 8) or 0)
+        if stride > 0:
+            cov = jnp.arange(0, num, stride, dtype=idx.dtype)
+            cov = jnp.broadcast_to(cov, idx.shape[:-1] + cov.shape)
+            # Duplicate indices are harmless: both writes carry the SAME
+            # value (same point, same pass), and `.set` routes the cotangent
+            # to exactly one of them.
+            idx = jnp.concatenate([idx, cov], axis=-1)  # [B,R,K]
+        pts_k = jnp.take_along_axis(points, idx[..., None], axis=-2)
+        sdfs_k, feats_k, grads_k, hess_k = self.eval_field_with_gradients(
+            pts_k, outside, cond, train=True
+        )
+        def put(full, sub):
+            ind = jnp.broadcast_to(idx[..., None], sub.shape)
+            return jnp.put_along_axis(full, ind, sub, axis=-2, inplace=False)
+
+        sdfs = put(sdfs_ng, sdfs_k)
+        feats = put(feats_ng, feats_k)
+        gradients = put(grads_ng, grads_k)
+        # Hessians stay on the selected subset (possibly further strided by
+        # the exact-hessian path); the curvature loss is a subset mean and
+        # the trainer's shape guard handles the reduced sample axis.
+        return sdfs, feats, gradients, hess_k
+
     # ------------------------------------------------------------------
     # Rendering
     # ------------------------------------------------------------------
@@ -430,8 +499,8 @@ class Model(nn.Module):
                            stratified, rng, train: bool):
         dists = self.sample_dists_all(center, ray_unit, near, far, cond, stratified, rng)
         points = camera.get_3D_points_from_dist(center, ray_unit, dists)
-        sdfs, feats, gradients, hessians = self.eval_field_with_gradients(
-            points, outside, cond, train
+        sdfs, feats, gradients, hessians = self.eval_field_for_render(
+            points, outside, cond, train, ray_unit, dists, far
         )
         rays_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)
         normals = loss_lib.safe_normalize(gradients)

@@ -7,8 +7,13 @@ few bench-workload steps and aggregate device-plane event durations by HLO op
 category (mlinerf_tpu/utils/profiling.py). This produced the scatter/gather
 breakdown tables in PERF.md.
 
-Env: BENCH_SHARED_LEVELS / BENCH_SMALL as in bench.py; PROFILE_STEPS (default 2),
-PROFILE_DIR (default /tmp/mlinerf_profile).
+Env: BENCH_SHARED_LEVELS / BENCH_CONFIG / BENCH_SMALL as in bench.py;
+PROFILE_STEPS (default 2), PROFILE_DIR (default /tmp/mlinerf_profile),
+PROFILE_SPD (default 1) — with PROFILE_SPD>1 each "step" is a fused
+steps_per_dispatch window (build_train_loop), the program production
+training and bench.py actually run; the standalone single-step program has
+shown a memory-space-assignment slice/copy pathology (PERF.md) that the
+scanned program does not.
 """
 
 import os
@@ -38,7 +43,8 @@ def main():
     arrays = {k: jax.numpy.asarray(v) for k, v in Dataset(cfg).as_arrays().items()}
     Trainer = resolve("trainer", cfg.trainer.type)
     trainer = Trainer(cfg, logdir="/tmp/mlinerf_profile_logs")
-    step = trainer.build_train_step()
+    spd = int(os.environ.get("PROFILE_SPD", 1))
+    step = trainer.build_train_loop(spd) if spd > 1 else trainer.build_train_step()
     state = trainer.state
     rng = jax.random.PRNGKey(0)
     state, info = step(state, arrays, rng)  # compile + warm
@@ -47,7 +53,7 @@ def main():
         for _ in range(steps):
             state, info = step(state, arrays, rng)
         float(jax.device_get(info["total"]))
-    print(f"[profile] {steps} steps traced to {profile_dir}")
+    print(f"[profile] {steps} x {spd}-step dispatches traced to {profile_dir}")
     profiling.print_breakdown(profile_dir)
 
 

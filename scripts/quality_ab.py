@@ -321,6 +321,26 @@ def main():
             ("composed12 f=0.25", set_composed12(0.25)),
             ("composed12 f=0.125", set_composed12(0.125)),
         ]
+    elif study == "topk":
+        # Importance-subsampled encoder gradients: loss values unchanged,
+        # parameter gradients restricted to the top-K compositing-weight
+        # samples + every stride-th sample (tests/test_grad_subsample.py).
+        # Toy S = 48 + 2x8 = 64 samples; production budget configs run S=64
+        # too, so K transfers directly.
+        def set_topk(topk, stride):
+            def f(cfg):
+                sub = cfg.model.object.sdf.gradient.subsample
+                sub.enabled = True
+                sub.topk = topk
+                sub.stride = stride
+            return f
+
+        variants = [
+            ("full-grad (off)", lambda cfg: None),
+            ("topk=24 stride=8", set_topk(24, 8)),
+            ("topk=16 stride=8", set_topk(16, 8)),
+            ("topk=8 stride=8", set_topk(8, 8)),
+        ]
     elif study == "occ":
         def set_occ(enabled, coarse, hier):
             def f(cfg):
