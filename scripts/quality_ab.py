@@ -321,6 +321,43 @@ def main():
             ("composed12 f=0.25", set_composed12(0.25)),
             ("composed12 f=0.125", set_composed12(0.125)),
         ]
+    elif study == "composed12topk":
+        # The full round-2 fast-path composition: composed12 at hessian
+        # fraction 0.125 PLUS importance-subsampled gradients. Gated as one
+        # unit (this is the bench composed12f8+topk operating point); the A
+        # control matches the composed12/prodshape studies' control cell.
+        def shape16c(cfg):
+            e = cfg.model.object.sdf.encoding
+            e.levels = 16
+            e.hashgrid.dim = 4
+            e.hashgrid.dict_size = 13
+            e.coarse2fine.init_active_level = 4
+            e.coarse2fine.step = cfg.model.object.sdf.encoding.coarse2fine.step // 2
+
+        def set_c12_topk(topk, stride):
+            def f(cfg):
+                e = cfg.model.object.sdf.encoding
+                e.levels = 12
+                e.hashgrid.dim = 4
+                e.hashgrid.dict_size = 13
+                e.coarse2fine.init_active_level = 4
+                e.coarse2fine.step = int(e.coarse2fine.step * 16 / 12 / 2)
+                cfg.model.render.num_samples.coarse = 24
+                cfg.model.render.num_sample_hierarchy = 1
+                cfg.model.object.sdf.gradient.shared_levels = 12
+                cfg.model.object.sdf.gradient.hessian.mode = "exact"
+                cfg.model.object.sdf.gradient.hessian.fraction = 0.125
+                sub = cfg.model.object.sdf.gradient.subsample
+                sub.enabled = True
+                sub.topk = topk
+                sub.stride = stride
+            return f
+
+        variants = [
+            ("A: L16 F4 dict13 (prod-shaped ref)", shape16c),
+            ("c12f8+topk24 s8", set_c12_topk(24, 8)),
+            ("c12f8+topk16 s8", set_c12_topk(16, 8)),
+        ]
     elif study == "topk":
         # Importance-subsampled encoder gradients: loss values unchanged,
         # parameter gradients restricted to the top-K compositing-weight
