@@ -94,17 +94,22 @@ def build_bench_cfg():
     #               800 iters; convergence re-judge queued) — opt-in only.
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
     e = cfg.model.object.sdf.encoding
-    if named in ("budget", "lvl12", "composed", "composed12", "composed12f8"):
+    if named in ("budget", "lvl12", "composed", "composed12", "composed12f8",
+                 "composed12topk"):
         e.hashgrid.dict_size = 19
         cfg.model.render.num_samples.coarse = 32
         cfg.model.render.num_sample_hierarchy = 2
-        if named in ("lvl12", "composed12", "composed12f8"):
+        if named in ("lvl12", "composed12", "composed12f8", "composed12topk"):
             e.levels = 12
         if named.startswith("composed"):
             cfg.model.object.sdf.gradient.shared_levels = e.levels
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
             cfg.model.object.sdf.gradient.hessian.fraction = (
-                0.125 if named == "composed12f8" else 0.25)
+                0.125 if named in ("composed12f8", "composed12topk") else 0.25)
+        if named == "composed12topk":
+            cfg.model.object.sdf.gradient.subsample.enabled = True
+            cfg.model.object.sdf.gradient.subsample.topk = 16
+            cfg.model.object.sdf.gradient.subsample.stride = 8
     elif named == "tuned":
         e.hashgrid.dict_size = 18
         e.levels = 8
