@@ -1,10 +1,17 @@
 #!/usr/bin/env python
-"""Small-scale quality A/B harness on the procedural synthetic scene (CPU).
+"""Small-scale quality A/B harness on the procedural synthetic scene.
 
 Trains the stage-a Lumen model for a few hundred iterations per variant and
 prints the validation PSNR, isolating the quality effect of one config knob
 at a time (the occupancy and shared-tap studies in docs/round1_evidence used
-this workload). Variants are chosen with AB_STUDY:
+this workload).
+
+Platform: runs on the AMBIENT JAX platform (``JAX_PLATFORMS`` is only
+``setdefault``-ed, so the axon TPU tunnel wins when registered — measured
+~3x faster per 2000-iter cell than the single CPU here). Control and
+candidate cells must share a platform (fp reduction order shifts absolute
+PSNR slightly); force CPU with ``env -u PALLAS_AXON_POOL_IPS
+JAX_PLATFORMS=cpu``. Variants are chosen with AB_STUDY:
 
   shared  — gradient.shared_levels 0 / half / all (the stencil fast path)
   occ     — occupancy off/on at shrinking coarse budgets
