@@ -167,3 +167,28 @@ def test_zero_sharded_tables_production_shapes(tmp_path):
                     jax.tree.leaves(params_by_mode[True])):
         np.testing.assert_allclose(np.asarray(x, np.float32), np.asarray(y, np.float32),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_subsampled_gradients_sharded_matches_unsharded(tmp_path):
+    """The importance-subsampled gradient path (gradient.subsample) under ray
+    sharding must compute the same numbers as the replicated run — top_k and
+    put_along_axis act per-ray, so the sharded selection must be identical."""
+    from tests.test_train_e2e import tiny_lumen_cfg
+    from mlinerf_tpu.config import resolve
+
+    results = {}
+    for mesh_mode in ("none", "rays"):
+        cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=2)
+        cfg.model.render.rand_rays = 64
+        cfg.runtime.mesh = mesh_mode
+        sub = cfg.model.object.sdf.gradient.subsample
+        sub.enabled = True
+        sub.topk = 6
+        sub.stride = 4
+        Dataset = resolve("dataset", cfg.data.type)
+        arrays = Dataset(cfg).as_arrays()
+        Trainer = resolve("trainer", cfg.trainer.type)
+        tr = Trainer(cfg, seed=0, logdir=str(tmp_path / f"sub_{mesh_mode}"))
+        tr.train(arrays)
+        results[mesh_mode] = (tr.losses_host["render"], tr.losses_host["curvature"])
+    np.testing.assert_allclose(results["none"], results["rays"], rtol=1e-4)
