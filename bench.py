@@ -25,9 +25,14 @@ import time
 BASELINE_RAYS_PER_SEC = 18_000.0
 
 # Which named config the bench measures when BENCH_CONFIG is unset.
-# "reference" until the tuned config's multi-seed quality gates pass
-# (scripts/quality_ab.py headline/prodshape studies — PERF.md).
-DEFAULT_CONFIG = "reference"
+# "composed" (dict19 capacity split + 32+2x16 sample budget + all-shared
+# stencil + exact strided hessian f=0.25): 1905.7 rays/s measured on the
+# chip, and the ONLY fast configuration whose convergence-length (2000-iter)
+# quality gates passed at BOTH seeds as a composition (-0.13/-0.08 dB,
+# in-cell controls) on top of per-knob gates — PERF.md. Faster candidates
+# (composed12*, topk) are gated/projected but were not measured on hardware
+# before the tunnel outage; they stay opt-in via BENCH_CONFIG.
+DEFAULT_CONFIG = "composed"
 
 
 def build_bench_cfg():
