@@ -252,9 +252,10 @@ def main():
     # with the gradient-mode default.
     shared_default = os.environ.get("BENCH_SHARED_LEVELS", "0") not in ("0", "")
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
-    if shared_default or named == "composed":
+    if shared_default or named.startswith("composed"):
         # Stencil programs run 32-step windows clean (soak, PERF.md);
-        # composed at 1.07 s/step keeps the window ~34 s < 45 s budget.
+        # composed at 1.07 s/step keeps the window ~34 s < 45 s budget, and
+        # the composed12* variants are strictly smaller programs.
         default_spd = 32
     elif named == "tuned":
         # 0.87 s/step measured: 16-step windows (~14 s) sit well under the
