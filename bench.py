@@ -94,6 +94,11 @@ def build_bench_cfg():
     #               fraction 0.25 -> 0.125 for the f8 variant): the two
     #               independently-gated row cuts composed; gated together
     #               by the composed12 study (knob interactions).
+    #               Chip-measured 2522.6 / 3134.2 rays/s.
+    #   composed12topk — + importance-subsampled gradients: MEASURED AND
+    #               REJECTED (1768.4 rays/s, slower than composed12f8 —
+    #               the extra no-grad forward outweighs the saved scatter
+    #               rows; PERF.md) and failed its seed-1 quality gate.
     #   tuned     — dict18 + L8F16 + budget (exact taps). 2363.1 rays/s;
     #               level-halving FAILED its toy gate (seed-1 -2.08 dB at
     #               800 iters; convergence re-judge queued) — opt-in only.
