@@ -204,6 +204,29 @@ def main():
             ("B: L8 F8 dict12 (prod-shaped headline)", set_shape(8, 8, 12)),
             ("C: B + 2x SDF width", set_shape_wide(8, 8, 12)),
         ]
+    elif study == "dictwidth":
+        # The ultra-small-table tier: v5e scatter runs 119 Mrows/s at
+        # <= 256 KB tables vs 52.5 at the 512 KB-8 MB tier (PERF.md sweep),
+        # so production dict 19 -> 14 would be the next full-step jump IF
+        # quality holds. Toy mirror: dict16 -> 11 (-5 bits, same as
+        # prod 19 -> 14). The 800-iter dict study measured -5 bits at
+        # -0.29 dB under the TRUNCATED harness; this re-judges at
+        # convergence length, with an MLP-width recovery variant (the MXU
+        # is ~1% utilized, so width is throughput-free — BENCH_SDF_WIDTH
+        # probe in PERF.md).
+        def set_dw(dict_size, width_mul=1):
+            def f(cfg):
+                cfg.model.object.sdf.encoding.hashgrid.dict_size = dict_size
+                if width_mul != 1:
+                    cfg.model.object.sdf.mlp.hidden_dim = (
+                        cfg.model.object.sdf.mlp.hidden_dim * width_mul)
+            return f
+
+        variants = [
+            ("A: dict=16 (config)", set_dw(16)),
+            ("B: dict=11 (-5 bits)", set_dw(11)),
+            ("C: dict=11 + 2x SDF width", set_dw(11, 2)),
+        ]
     elif study == "attrib":
         # Seed-1 collapse attribution. At seed 1 every reduced config so far
         # lands ~20.1 dB vs ~22.4 baseline (stencil round 1, prodshape L8,
