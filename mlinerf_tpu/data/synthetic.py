@@ -24,6 +24,27 @@ from mlinerf_tpu.data.base import Dataset as BaseDataset
 SPHERE_RADIUS = 0.45
 SPHERE_CENTER = np.zeros(3, np.float32)
 
+# "cluttered" scene: several spheres packed inside the unit bounding sphere,
+# each with its own high-frequency albedo, rendered with hard cast shadows.
+# Exists to stress-test capacity/budget cuts (hash dict_size, level count,
+# sample budget) that are PSNR-neutral on the single-sphere scene but could
+# regress on geometry- and texture-dense content; quality gates re-run here
+# via AB_SCENE=cluttered (scripts/quality_ab.py).
+CLUTTERED_SPHERES = np.asarray(
+    [
+        # cx, cy, cz, radius
+        [0.00, 0.00, -0.25, 0.38],   # large base sphere ("ground")
+        [0.32, 0.18, 0.22, 0.20],
+        [-0.30, 0.25, 0.15, 0.17],
+        [-0.05, -0.38, 0.25, 0.15],
+        [0.05, 0.42, 0.42, 0.12],
+        [0.40, -0.28, 0.35, 0.11],
+        [-0.42, -0.15, 0.45, 0.10],
+        [0.12, 0.05, 0.58, 0.09],
+    ],
+    np.float32,
+)
+
 
 def look_at_pose(cam_pos: np.ndarray, target: np.ndarray = None, up=(0.0, 0.0, 1.0)) -> np.ndarray:
     """World->camera [3,4] pose in CV convention (x right, y down, z forward)."""
@@ -49,6 +70,87 @@ def procedural_reflectance(points: np.ndarray) -> np.ndarray:
     g = 0.5 + 0.4 * np.sin(6 * y + 1.0)
     b = 0.5 + 0.4 * np.cos(7 * z + 2.0)
     return np.clip(np.stack([r, g, b], axis=-1), 0.1, 0.9).astype(np.float32)
+
+
+def cluttered_reflectance(points: np.ndarray, obj_idx: np.ndarray) -> np.ndarray:
+    """Per-object high-frequency procedural albedo in [0.1, 0.9].
+
+    Frequencies scale with the object index so every sphere carries a
+    distinct texture; the highest frequencies (~20 rad/unit) need fine hash
+    levels to represent, which is the point of the cluttered gate scene.
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    k = obj_idx.astype(np.float32)
+    r = 0.5 + 0.4 * np.sin((10 + 2 * k) * x + 1.7 * k) * np.cos((7 + k) * y)
+    g = 0.5 + 0.4 * np.sin((8 + 3 * k) * y + 0.9 * k + 1.0)
+    b = 0.5 + 0.4 * np.cos((12 + 2 * k) * z + 0.5 * k + 2.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0.1, 0.9).astype(np.float32)
+
+
+def _intersect_spheres(origins: np.ndarray, dirs: np.ndarray, spheres: np.ndarray):
+    """Nearest positive ray-sphere hit against a [K,4] sphere list.
+
+    origins/dirs: [...,3] (dirs unit). Returns (t [...], obj_idx [...] int32,
+    hit [...] bool)."""
+    oc = origins[..., None, :] - spheres[None, ..., :3]  # [...,K,3]
+    b = np.sum(dirs[..., None, :] * oc, axis=-1)  # [...,K]
+    c = np.sum(oc * oc, axis=-1) - spheres[..., 3] ** 2
+    disc = b * b - c
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    valid = (disc > 0) & (t > 1e-4)
+    t = np.where(valid, t, np.inf)
+    obj_idx = np.argmin(t, axis=-1).astype(np.int32)
+    t_min = np.take_along_axis(t, obj_idx[..., None], axis=-1)[..., 0]
+    hit = np.isfinite(t_min)
+    return np.where(hit, t_min, 0.0), obj_idx, hit
+
+
+def render_cluttered_image(pose: np.ndarray, intr: np.ndarray, light_pos: np.ndarray,
+                           image_size: Tuple[int, int], white_background: bool = True):
+    """Analytic lambertian multi-sphere render with hard cast shadows.
+
+    Same return contract as :func:`render_sphere_image`; shading is
+    ``max(n.l, 0) * shadow_visibility`` so the GT intrinsics keep image =
+    R*S exactly (the residual term is zero)."""
+    H, W = image_size
+    spheres = CLUTTERED_SPHERES
+    R, t = pose[:3, :3], pose[:3, 3]
+    cam_center = -R.T @ t
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
+    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+    dirs_cam = pix @ np.linalg.inv(intr).T
+    dirs_world = dirs_cam @ R
+    dirs_world = dirs_world / np.linalg.norm(dirs_world, axis=-1, keepdims=True)
+    origins = np.broadcast_to(cam_center, dirs_world.shape)
+    t_hit, obj_idx, hit = _intersect_spheres(origins, dirs_world, spheres)
+    points = cam_center + dirs_world * t_hit[..., None]
+    centers = spheres[obj_idx, :3]
+    radii = spheres[obj_idx, 3:4]
+    normals = (points - centers) / radii
+    to_light = light_pos - points
+    light_dist = np.linalg.norm(to_light, axis=-1, keepdims=True)
+    to_light = to_light / light_dist
+    # Hard shadow: march from just off the surface toward the light and test
+    # occlusion against every sphere (self-occlusion handled by the 1e-4 eps
+    # in _intersect_spheres plus the surface offset).
+    shadow_org = points + normals * 1e-3
+    t_sh, _, sh_hit = _intersect_spheres(shadow_org, to_light, spheres)
+    occluded = sh_hit & (t_sh < light_dist[..., 0])
+    shading = np.clip(np.sum(normals * to_light, axis=-1, keepdims=True), 0, 1)
+    shading = shading * (~occluded[..., None]).astype(np.float32)
+    reflectance = cluttered_reflectance(points, obj_idx)
+    image = reflectance * shading
+    mask = hit[..., None].astype(np.float32)
+    bg = 1.0 if white_background else 0.0
+    image = image * mask + bg * (1 - mask)
+    reflectance = reflectance * mask + bg * (1 - mask)
+    shading = shading * mask + bg * (1 - mask)
+    return (
+        image.astype(np.float32),
+        reflectance.astype(np.float32),
+        np.repeat(shading, 3, axis=-1).astype(np.float32),
+        mask,
+    )
 
 
 def render_sphere_image(pose: np.ndarray, intr: np.ndarray, light_pos: np.ndarray,
@@ -107,6 +209,9 @@ class Dataset(BaseDataset):
         self.num_lights = cfg_data.get("num_lights", 4)
         self.load_iid = split_cfg.get("load_iid", False)
         self.white_background = cfg_data.get("white_background", True)
+        self.scene = cfg_data.get("scene", "sphere")
+        if self.scene not in ("sphere", "cluttered"):
+            raise ValueError(f"unknown synthetic scene '{self.scene}'")
         seed = cfg_data.get("seed", 0) + (100 if self.split != "train" else 0)
         rng = np.random.default_rng(seed)
         # Cameras on a ring (radius 2.2, slight elevation jitter), lights on a
@@ -185,7 +290,9 @@ class Dataset(BaseDataset):
             return self._cache[idx]
         frame = self.list[idx]
         pose = look_at_pose(frame["cam_pos"])
-        image, ref, sha, mask = render_sphere_image(
+        render = (render_cluttered_image if self.scene == "cluttered"
+                  else render_sphere_image)
+        image, ref, sha, mask = render(
             pose, self.intr, frame["pl_pos"], (self.H, self.W), self.white_background
         )
         sample = dict(

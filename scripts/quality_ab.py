@@ -16,7 +16,8 @@ JAX_PLATFORMS=cpu``. Variants are chosen with AB_STUDY:
   shared  — gradient.shared_levels 0 / half / all (the stencil fast path)
   occ     — occupancy off/on at shrinking coarse budgets
 
-Env: AB_ITERS (default 300), AB_STUDY (default shared), AB_SEED (default 0).
+Env: AB_ITERS (default 300), AB_STUDY (default shared), AB_SEED (default 0),
+AB_SCENE (sphere | cluttered — the multi-object hard-shadow stress scene).
 """
 
 import os
@@ -47,6 +48,11 @@ def base_cfg(tmp, iters):
     cfg.data.val.image_size = [64, 64]
     cfg.data.num_cameras = 6
     cfg.data.num_lights = 2
+    # AB_SCENE=cluttered swaps the single sphere for the multi-object
+    # hard-shadow scene (data/synthetic.py CLUTTERED_SPHERES) — the
+    # capacity-cut stress gate. Default stays the sphere so existing cells
+    # remain comparable.
+    cfg.data.scene = os.environ.get("AB_SCENE", "sphere")
     return cfg
 
 

@@ -162,3 +162,42 @@ def test_nerf_blender_loader(tmp_path):
     assert s["image"].shape == (H, W, 3)
     focal = 0.5 * W / np.tan(0.35)
     np.testing.assert_allclose(s["intr"][0, 0], focal, rtol=1e-5)
+
+
+def test_synthetic_cluttered_scene():
+    """The multi-object stress scene: exact R*S identity, cast shadows
+    present, geometry inside the unit bounding sphere, cfg plumbing."""
+    from mlinerf_tpu.data.synthetic import (
+        CLUTTERED_SPHERES, look_at_pose, render_cluttered_image)
+
+    H = W = 48
+    focal = 1.2 * max(H, W)
+    intr = np.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    pose = look_at_pose(np.asarray([2.0, 0.8, 1.0], np.float32))
+    light = np.asarray([1.2, -0.9, 1.4], np.float32)
+    img, ref, sha, mask = render_cluttered_image(pose, intr, light, (H, W))
+    fg = mask[..., 0] > 0
+    assert 0.05 < fg.mean() < 0.6
+    np.testing.assert_allclose(img[fg], (ref * sha)[fg], atol=1e-6)
+    # hard shadows / terminator: some foreground is fully dark, some lit
+    assert (sha[fg][:, 0] == 0).any() and (sha[fg][:, 0] > 0.5).any()
+    # scene fits inside the unit bounding sphere (data normalization relies
+    # on it)
+    extent = np.linalg.norm(CLUTTERED_SPHERES[:, :3], axis=1) + CLUTTERED_SPHERES[:, 3]
+    assert extent.max() < 1.0
+    # dataset-level plumbing: cfg.data.scene switches the renderer and the
+    # image actually differs from the single-sphere default
+    cfg = Config()
+    cfg.data = {
+        "type": "synthetic", "num_cameras": 2, "num_lights": 1,
+        "scene": "cluttered", "preload": True, "num_workers": 1,
+        "train": {"image_size": [H, W], "batch_size": 1},
+        "val": {"image_size": [H, W], "batch_size": 1},
+    }
+    Dataset = resolve("dataset", "synthetic")
+    ds = Dataset(cfg)
+    s = ds.get_full_sample(0)
+    assert s["image"].shape == (H, W, 3)
+    cfg.data.scene = "sphere"
+    s_sphere = Dataset(cfg).get_full_sample(0)
+    assert np.abs(s["image"] - s_sphere["image"]).max() > 0.1
