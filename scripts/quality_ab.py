@@ -352,10 +352,28 @@ def main():
                 cfg.model.object.sdf.gradient.hessian.fraction = fraction
             return f
 
+        def set_c12f8_dict(dict_size):
+            base = set_composed12(0.125)
+
+            def f(cfg):
+                base(cfg)
+                cfg.model.object.sdf.encoding.hashgrid.dict_size = dict_size
+            return f
+
         variants = [
             ("A: L16 F4 dict13 (prod-shaped ref)", shape(16)),
             ("composed12 f=0.25", set_composed12(0.25)),
             ("composed12 f=0.125", set_composed12(0.125)),
+            # Capacity ladder under the f=0.125 composition (toy mirror of
+            # the production dict19 -> dict14 probe that measured 6998.9
+            # rays/s). The toy cannot reproduce production collision ratios
+            # (its finest level is far coarser), so these cells only bound
+            # gross capacity starvation — a toy FAIL kills the cut, a toy
+            # PASS is necessary-not-sufficient (real-data gate in round 3).
+            # (names avoid the "f=0.125" substring so AB_VARIANTS selectors
+            # for the plain composition don't pick these up)
+            ("c12f8 dict11", set_c12f8_dict(11)),
+            ("c12f8 dict9", set_c12f8_dict(9)),
         ]
     elif study == "composed12topk":
         # The full round-2 fast-path composition: composed12 at hessian
