@@ -5,8 +5,12 @@
 #      curve between the gated dict19 (3134.2 rays/s) and the ungated
 #      dict14 probe (6998.9 rays/s). Timing runs — hold while the CPU
 #      verify pass is live (contention perturbs wall clock).
-#   2. Cluttered-scene capacity ladder at seed 0 (toy bound for the
+#   2. Sphere seed-3 arbitration for composed12 f=0.125 (the 3-seed gate
+#      has one marginal cell at -0.21 dB; a 4th seed firms the multi-seed
+#      mean before the default flip rides on it).
+#   3. Cluttered-scene capacity ladder at seed 0 (toy bound for the
 #      dict19 -> dict14 class of cut; see quality_ab composed12 study).
+# Ordered by decision value; the tail is cut if the round ends first.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/bench_logs /tmp/ab_logs
@@ -21,6 +25,16 @@ for ds in 17 16; do
     > "$log" 2>"${log%.log}.err"
   tail -1 "$log"
 done
+log=/tmp/ab_logs/c12_2000_s3.log
+if [ -s "$log" ] && grep -q "PSNR" "$log" && grep -q DONE "$log"; then
+  echo "skip $log"
+else
+  echo "=== sphere seed-3 arbitration ($(date +%H:%M:%S)) ==="
+  AB_STUDY=composed12 AB_ITERS=2000 AB_SEED=3 \
+    AB_VARIANTS="A:,composed12 f=0.125" \
+    python scripts/quality_ab.py > "$log" 2>&1
+  tail -n 8 "$log"
+fi
 log=/tmp/ab_logs/c12_clut_dictladder_s0.log
 if [ -s "$log" ] && grep -q "PSNR" "$log" && grep -q DONE "$log"; then
   echo "skip $log"
