@@ -172,6 +172,28 @@ def build_bench_cfg():
     # Importance-subsampled encoder gradients (BENCH_TOPK / BENCH_TOPK_STRIDE):
     # backward scatter rows drop to ~K/S at one extra no-grad forward
     # (models/neuralangelo.py eval_field_grad_subsampled; AB_STUDY=topk gates).
+    # Subtraction profiling (BENCH_FREEZE=tables|sdf): partial-training
+    # keywords freeze param subtrees whose gradients are then DCE'd from the
+    # jitted step (trainers/optim.partition_params), so
+    #   step(full) - step(FREEZE=tables) = the hash-table scatter share
+    #   step(FREEZE=tables) - step(FREEZE=sdf) = the SDF-MLP backward share
+    # measured in-window, exactly as production runs — no xplane parsing.
+    # Sampling-PDF level truncation (BENCH_SAMPLING_LEVELS=K): the
+    # hierarchical importance-sampling SDF evaluations (48 no-grad evals/ray
+    # at the composed budget) read only the first K hash levels — coarse
+    # geometry is enough to place samples (models/neuralangelo.py
+    # sample_dists_all). Affects sample PLACEMENT only, so it still needs an
+    # AB gate before any default flip.
+    slev = os.environ.get("BENCH_SAMPLING_LEVELS")
+    if slev:
+        cfg.model.render.sampling_levels = int(slev)
+    freeze = os.environ.get("BENCH_FREEZE")
+    if freeze == "tables":
+        cfg.optim.partial_training = ["mlp", "s_var"]
+    elif freeze == "sdf":
+        cfg.optim.partial_training = ["neural_rgb"]
+    elif freeze:
+        raise SystemExit(f"unknown BENCH_FREEZE={freeze}")
     topk = os.environ.get("BENCH_TOPK")
     if topk:
         sub = cfg.model.object.sdf.gradient.subsample

@@ -340,17 +340,20 @@ def main():
                 e.coarse2fine.step = int(e.coarse2fine.step * 16 / levels / 2)
             return f
 
-        def set_composed12(fraction):
-            base = shape(12)
+        def set_composed_at(levels, fraction):
+            base = shape(levels)
 
             def f(cfg):
                 base(cfg)
                 cfg.model.render.num_samples.coarse = 24
                 cfg.model.render.num_sample_hierarchy = 1
-                cfg.model.object.sdf.gradient.shared_levels = 12
+                cfg.model.object.sdf.gradient.shared_levels = levels
                 cfg.model.object.sdf.gradient.hessian.mode = "exact"
                 cfg.model.object.sdf.gradient.hessian.fraction = fraction
             return f
+
+        def set_composed12(fraction):
+            return set_composed_at(12, fraction)
 
         def set_c12f8_dict(dict_size):
             base = set_composed12(0.125)
@@ -362,6 +365,11 @@ def main():
 
         variants = [
             ("A: L16 F4 dict13 (prod-shaped ref)", shape(16)),
+            # Toy mirror of the CURRENT bench default (composed: L16,
+            # f=0.25) inside this study's cell, so a seed can compare the
+            # L12 candidates against the accepted default under the same
+            # in-cell control (attribution for seed-specific fails).
+            ("c16 composed mirror", set_composed_at(16, 0.25)),
             ("composed12 f=0.25", set_composed12(0.25)),
             ("composed12 f=0.125", set_composed12(0.125)),
             # Capacity ladder under the f=0.125 composition (toy mirror of
@@ -374,6 +382,73 @@ def main():
             # for the plain composition don't pick these up)
             ("c12f8 dict11", set_c12f8_dict(11)),
             ("c12f8 dict9", set_c12f8_dict(9)),
+            # -5 bits: the direct mirror of prod dict19 -> dict14 (the
+            # 6998.9 rays/s 119 Mrows/s-tier probe).
+            ("c12f8 dict8", set_c12f8_dict(8)),
+        ]
+    elif study == "slev":
+        # Sampling-PDF level truncation under the full composed12f8 knobs:
+        # the hierarchical importance-sampling SDF evals read only the first
+        # K levels (models/neuralangelo.py sample_dists_all). Placement-only
+        # knob — gradients/compositing unchanged — but sample placement
+        # shifts what the loss sees, so it gates like any other cut.
+        def c12f8():
+            e_levels = 12
+
+            def f(cfg):
+                e = cfg.model.object.sdf.encoding
+                e.levels = e_levels
+                e.hashgrid.dim = 4
+                e.hashgrid.dict_size = 13
+                e.coarse2fine.init_active_level = 4
+                e.coarse2fine.step = int(e.coarse2fine.step * 16 / e_levels / 2)
+                cfg.model.render.num_samples.coarse = 24
+                cfg.model.render.num_sample_hierarchy = 1
+                cfg.model.object.sdf.gradient.shared_levels = e_levels
+                cfg.model.object.sdf.gradient.hessian.mode = "exact"
+                cfg.model.object.sdf.gradient.hessian.fraction = 0.125
+            return f
+
+        def with_slev(k):
+            base = c12f8()
+
+            def f(cfg):
+                base(cfg)
+                cfg.model.render.sampling_levels = k
+            return f
+
+        variants = [
+            ("A: composed12f8 (all sampling levels)", c12f8()),
+            ("slev=6", with_slev(6)),
+            ("slev=4", with_slev(4)),
+        ]
+    elif study == "fhalf":
+        # Equal-BYTES feature-width question at the ultra-small-table tier:
+        # production dict14F8 and dict15F4 have identical per-level table
+        # bytes (256 KB bf16 = the 119 Mrows/s scatter tier) but F4 doubles
+        # the row count (fewer hash collisions) while halving per-level
+        # feature width. Scatter ROWS (and thus speed) are F-independent,
+        # so whichever wins on quality is free. The toy runs F4 everywhere,
+        # so this study uses an F8 control at equal bytes to measure the
+        # sign of F-halving; both arms carry the full composed12f8 knobs.
+        def set_f(levels, dim, dict_size):
+            def f(cfg):
+                e = cfg.model.object.sdf.encoding
+                e.levels = levels
+                e.hashgrid.dim = dim
+                e.hashgrid.dict_size = dict_size
+                e.coarse2fine.init_active_level = 4
+                e.coarse2fine.step = int(e.coarse2fine.step * 16 / levels / 2)
+                cfg.model.render.num_samples.coarse = 24
+                cfg.model.render.num_sample_hierarchy = 1
+                cfg.model.object.sdf.gradient.shared_levels = levels
+                cfg.model.object.sdf.gradient.hessian.mode = "exact"
+                cfg.model.object.sdf.gradient.hessian.fraction = 0.125
+            return f
+
+        variants = [
+            ("A: L12 F8 dict12 (equal-bytes F8)", set_f(12, 8, 12)),
+            ("B: L12 F4 dict13 (equal-bytes F4, 2x rows)", set_f(12, 4, 13)),
         ]
     elif study == "composed12topk":
         # The full round-2 fast-path composition: composed12 at hessian
