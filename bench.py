@@ -194,6 +194,16 @@ def build_bench_cfg():
         cfg.optim.partial_training = ["neural_rgb"]
     elif freeze:
         raise SystemExit(f"unknown BENCH_FREEZE={freeze}")
+    # Corner-sampled backward scatter (BENCH_CORNER_SAMPLE=1, optional
+    # BENCH_CORNER_FLOOR): unbiased one-row-per-point table gradients —
+    # forward unchanged, backward scatter rows /8 (ops/hashgrid.
+    # corner_sampled_combine; AB_STUDY=csamp gates).
+    if os.environ.get("BENCH_CORNER_SAMPLE"):
+        cs = cfg.model.object.sdf.gradient.corner_sample
+        cs.enabled = True
+        fl = os.environ.get("BENCH_CORNER_FLOOR")
+        if fl:
+            cs.floor = float(fl)
     topk = os.environ.get("BENCH_TOPK")
     if topk:
         sub = cfg.model.object.sdf.gradient.subsample

@@ -88,12 +88,19 @@ class NeuralSDF(nn.Module):
         mode = grad_cfg.get("mode", "numerical") if hasattr(grad_cfg, "get") else "numerical"
         return mode != "analytical"
 
-    def encode(self, points_3D, level_mask=None, max_levels=None):
+    def _corner_floor(self) -> float:
+        grad_cfg = self.cfg_sdf.get("gradient", {}) or {}
+        cs = grad_cfg.get("corner_sample", {}) or {}
+        return float(cs.get("floor", 0.125))
+
+    def encode(self, points_3D, level_mask=None, max_levels=None, corner_key=None):
         cfg_enc = self.cfg_sdf.encoding
         if cfg_enc.type == "hashgrid":
             feats = hashgrid.encode(self.table, points_3D, self.spec,
                                     level_mask=level_mask, max_levels=max_levels,
-                                    pallas_backward=self._pallas_backward())
+                                    pallas_backward=self._pallas_backward(),
+                                    corner_key=corner_key,
+                                    corner_floor=self._corner_floor())
         else:
             feats = enc.positional_encoding(points_3D, cfg_enc.levels)
             if level_mask is not None:
@@ -103,17 +110,18 @@ class NeuralSDF(nn.Module):
         return jnp.concatenate([points_3D, feats.astype(points_3D.dtype)], axis=-1)
 
     def __call__(self, points_3D, level_mask=None, with_sdf=True, with_feat=True,
-                 max_levels=None):
-        points_enc = self.encode(points_3D, level_mask=level_mask, max_levels=max_levels)
+                 max_levels=None, corner_key=None):
+        points_enc = self.encode(points_3D, level_mask=level_mask, max_levels=max_levels,
+                                 corner_key=corner_key)
         sdf, feat = self.mlp(points_enc, with_sdf=with_sdf, with_feat=with_feat)
         return sdf, feat
 
-    def sdf(self, points_3D, level_mask=None, max_levels=None):
+    def sdf(self, points_3D, level_mask=None, max_levels=None, corner_key=None):
         return self(points_3D, level_mask=level_mask, with_sdf=True, with_feat=False,
-                    max_levels=max_levels)[0]
+                    max_levels=max_levels, corner_key=corner_key)[0]
 
     def stencil(self, points_3D, offsets, level_mask=None, shared_levels=0,
-                max_levels=None):
+                max_levels=None, corner_key=None):
         """Evaluate SDF at center + tap points with shared coarse-level gathers.
 
         Fuses the center evaluation (SDF + feature head) and the ``T``
@@ -134,6 +142,7 @@ class NeuralSDF(nn.Module):
             self.table, points_3D, offsets, self.spec, level_mask=level_mask,
             shared_levels=shared_levels, max_levels=max_levels,
             pallas_backward=self._pallas_backward(),
+            corner_key=corner_key, corner_floor=self._corner_floor(),
         )  # [..., 1+T, L*F]
         offs_all = jnp.concatenate(
             [jnp.zeros((1, 3), jnp.float32), offsets.astype(jnp.float32)], axis=0

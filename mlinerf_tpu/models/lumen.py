@@ -73,6 +73,7 @@ class Model(AngeloModel):
         """
         assert pts_light is not None, "Lumen rendering requires pts_light"
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        cond = self._with_corner_key(cond, rng, train)
         k_obj, k_bg, k_vis = jax.random.split(rng, 3)
         near, far, outside = self.get_dist_bounds(center, ray_unit)
         app, app_outside = (

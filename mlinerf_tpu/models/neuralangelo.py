@@ -165,11 +165,15 @@ class Model(nn.Module):
         """SDF at points (no feature head) — used by sampling/tracing.
 
         ``cond['max_levels']`` (a static python int, when present) truncates
-        the hash levels actually gathered.
+        the hash levels actually gathered. ``cond['corner_key']`` (train path,
+        ``gradient.corner_sample.enabled``) routes any backward through the
+        corner-sampled table scatter (ops/hashgrid.corner_sampled_combine) —
+        a no-op for the stop-gradient'd sampling/tracing callers.
         """
         return self.neural_sdf(points, level_mask=cond.get("level_mask"),
                                with_sdf=True, with_feat=False,
-                               max_levels=cond.get("max_levels"))[0]
+                               max_levels=cond.get("max_levels"),
+                               corner_key=cond.get("corner_key"))[0]
 
     def sphere_trace(self, center, ray_unit, near, far, cond, num_iters=20, dist_start=None):
         sdf_fn = lambda pts: jax.lax.stop_gradient(self.sdf_only(pts, cond))
@@ -337,6 +341,7 @@ class Model(nn.Module):
             sdfs, feats, sdf_taps = self.neural_sdf.stencil(
                 points, offsets, level_mask=cond.get("level_mask"), shared_levels=shared,
                 max_levels=cond.get("max_levels"),
+                corner_key=cond.get("corner_key"),
             )
             sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
             gradients, hessians = numerical_gradients(sdf_taps, sdfs, taps, eps, train)
@@ -364,7 +369,8 @@ class Model(nn.Module):
                 hessians = hessians * (~out_sub[..., None]).astype(hessians.dtype)
         else:
             sdfs, feats = self.neural_sdf(points, level_mask=cond.get("level_mask"),
-                                          max_levels=cond.get("max_levels"))
+                                          max_levels=cond.get("max_levels"),
+                                          corner_key=cond.get("corner_key"))
             sdfs = jnp.where(outside[..., None], self.outside_val, sdfs)
             gradients, hessians = self.compute_gradients(points, cond, training=train, sdf=sdfs)
         return sdfs, feats, gradients, hessians
@@ -458,11 +464,30 @@ class Model(nn.Module):
             )
         return app, app_outside
 
+    def _with_corner_key(self, cond, rng, train: bool):
+        """Inject the per-step corner-sampling key into ``cond`` (train only).
+
+        ``gradient.corner_sample.enabled`` routes every hash-table backward
+        scatter through the unbiased single-corner estimator
+        (ops/hashgrid.corner_sampled_combine). Numerical-gradient modes only:
+        the analytical mode double-differentiates the encoder and custom_vjp
+        is reverse-mode-only.
+        """
+        grad_cfg = self.cfg_model.object.sdf.gradient
+        cs = grad_cfg.get("corner_sample", {}) or {}
+        if not (train and cs.get("enabled") and grad_cfg.mode != "analytical"
+                and self.cfg_model.object.sdf.encoding.type == "hashgrid"):
+            return cond
+        cond = dict(cond)
+        cond["corner_key"] = jax.random.fold_in(rng, 0x5A11)
+        return cond
+
     def render_rays(self, center, ray_unit, cond, sample_idx=None, stratified=False,
                     rng=None, train: bool = True):
         """Render a chunk of rays. Returns the reference's output dict
         (projects/neuralangelo/model.py:337-369)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        cond = self._with_corner_key(cond, rng, train)
         k_obj, k_bg = jax.random.split(rng)
         near, far, outside = self.get_dist_bounds(center, ray_unit)
         app, app_outside = self.get_appearance_embedding(sample_idx, ray_unit.shape[1]) \

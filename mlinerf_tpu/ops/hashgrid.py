@@ -120,6 +120,87 @@ def _corner_indices(spec: HashGridSpec):
     return corners
 
 
+def _corner_sampled_combine_fn(floor: float):
+    """Trilinear combine with a corner-SAMPLED backward table scatter.
+
+    Forward is the exact weighted corner gather
+    ``out[e] = sum_c weights[e,c] * table[idx[c]]`` (same math as the plain
+    take+einsum path). Backward replaces the per-corner scatter-add — 8 rows
+    per (point, level), the dominant cost of the TPU train step (PERF.md:
+    scatter-add is per-ROW latency-bound on v5e) — with ONE row per point:
+    an unbiased single-sample estimator over the corner axis.
+
+    Estimator: corner ``c*`` is drawn per point from
+    ``q = (1-floor) * w_center / sum(w_center) + floor/8`` (trilinear center
+    weights are non-negative and sum to 1, so with floor=0 this is exactly
+    importance sampling by contribution), and the scattered row is
+    ``v[c*] / q[c*]`` where ``v[c] = sum_e weights[e,c] * ct[e]`` is the true
+    per-corner cotangent row. ``E[v[c*]/q[c*]] = sum_c v[c]`` — unbiased for
+    every eval in the stencil, including out-of-cell tap extrapolations whose
+    weights can be negative (the floor bounds ``1/q`` for corners where the
+    center weight vanishes but a tap weight does not). The estimator's
+    variance acts as extra SGD gradient noise on the tables; quality is gated
+    per-config by scripts/quality_ab.py AB_STUDY=csamp.
+
+    The weights cotangent is computed exactly (re-gather + einsum, ~10x
+    cheaper per row than scatters); when nothing differentiates through the
+    weights (the production train step — points are stop_gradient'd), XLA
+    DCEs it away entirely.
+
+    Reference counterpart: the tcnn hash-encoder backward
+    (projects/neuralangelo/utils/modules.py:50) — a CUDA atomic-add over all
+    8 corners; on TPU the unbiased subsample is the hardware-shaped answer.
+    """
+
+    @jax.custom_vjp
+    def combine(table_lv, idx, weights_all, key):
+        # table_lv [S,F], idx [8,P] int32, weights_all [E,8,P], key uint32[2]
+        feats = jnp.take(table_lv, idx.reshape(-1), axis=0).reshape(
+            idx.shape[0], idx.shape[1], table_lv.shape[-1])  # [8,P,F]
+        return jnp.einsum("cpf,ecp->efp", feats, weights_all.astype(feats.dtype))
+
+    def fwd(table_lv, idx, weights_all, key):
+        return combine(table_lv, idx, weights_all, key), (table_lv, idx, weights_all, key)
+
+    def bwd(res, ct):  # ct [E,F,P]
+        table_lv, idx, weights_all, key = res
+        P = idx.shape[1]
+        # Exact weights cotangent (DCE'd when weights are not differentiated).
+        feats = jnp.take(table_lv, idx.reshape(-1), axis=0).reshape(
+            idx.shape[0], P, table_lv.shape[-1])
+        gw = jnp.einsum("efp,cpf->ecp", ct, feats).astype(weights_all.dtype)
+        # Corner sampling distribution from the center-eval weights.
+        w0 = jnp.maximum(weights_all[0].astype(jnp.float32), 0.0)  # [8,P]
+        s0 = jnp.maximum(jnp.sum(w0, axis=0, keepdims=True), 1e-9)
+        q = (1.0 - floor) * (w0 / s0) + floor / 8.0  # [8,P]
+        cdf = jnp.cumsum(q, axis=0)
+        u = jax.random.uniform(key, (1, P), jnp.float32) * cdf[-1:]
+        c = jnp.sum((u > cdf[:-1]).astype(jnp.int32), axis=0)[None]  # [1,P]
+        idx_sel = jnp.take_along_axis(idx, c, axis=0)[0]  # [P]
+        q_sel = jnp.maximum(jnp.take_along_axis(q, c, axis=0)[0], 1e-9)  # [P]
+        w_sel = jnp.take_along_axis(
+            weights_all, c[None], axis=1)[:, 0].astype(jnp.float32)  # [E,P]
+        val = jnp.einsum("efp,ep->fp", ct.astype(jnp.float32), w_sel)  # [F,P]
+        val = (val / q_sel).astype(table_lv.dtype)
+        gt = jnp.zeros_like(table_lv).at[idx_sel].add(val.T)
+        f0 = jax.dtypes.float0
+        return gt, np.zeros(idx.shape, f0), gw, np.zeros(key.shape, f0)
+
+    combine.defvjp(fwd, bwd)
+    return combine
+
+
+# One instance per floor value (the floor is trace-static).
+_CSAMP_CACHE = {}
+
+
+def corner_sampled_combine(table_lv, idx, weights_all, key, floor: float = 0.125):
+    fn = _CSAMP_CACHE.get(floor)
+    if fn is None:
+        fn = _CSAMP_CACHE[floor] = _corner_sampled_combine_fn(float(floor))
+    return fn(table_lv, idx, weights_all, key)
+
+
 def _row_take_fn(pallas_backward: bool):
     """Row-gather whose VJP routes through the Pallas VMEM scatter-accumulate
     kernel when enabled and applicable (ops/hashgrid_pallas.py; falls back to
@@ -140,8 +221,12 @@ def _row_take_fn(pallas_backward: bool):
 
 
 def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
-           pallas_backward: bool = False):
+           pallas_backward: bool = False, corner_key=None, corner_floor: float = 0.125):
     """Encode 3D points into concatenated per-level features.
+
+    ``corner_key`` (optional uint32 PRNG key): route the backward through the
+    corner-SAMPLED table scatter (one row per point/level instead of 8 — see
+    :func:`corner_sampled_combine`). Forward values are identical.
 
     TPU layout note: a single batched gather over all (level, corner) pairs
     materializes a [P, L, 8, F] tensor whose trailing (8, F=8) dims tile-pad
@@ -217,8 +302,14 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
                 ^ iz * np.uint32(_PRIMES[2])
             ) % np.uint32(table_sizes[lv])
         idx = idx.astype(jnp.int32)  # [8,P]
-        feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
-        out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))  # [F,P]
+        if corner_key is not None:
+            out_l = corner_sampled_combine(
+                table[lv], idx, weights[None], jax.random.fold_in(corner_key, lv),
+                floor=corner_floor,
+            )[0]  # [F,P]
+        else:
+            feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
+            out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))  # [F,P]
         if level_mask is not None:
             out_l = out_l * level_mask[lv].astype(out_l.dtype)
         outs.append(out_l)
@@ -231,7 +322,8 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
 
 def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                    shared_levels: int = 0, max_levels=None,
-                   pallas_backward: bool = False):
+                   pallas_backward: bool = False, corner_key=None,
+                   corner_floor: float = 0.125):
     """Encode a stencil of points (center + taps) with shared corner gathers.
 
     The numerical-gradient path (reference
@@ -329,7 +421,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
             iy = cy + dys.astype(jnp.uint32)
             iz = cz + dzs.astype(jnp.uint32)
             idx = level_index(ix, iy, iz, lv)
-            feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
+            w_evals = []
             for e in range(E):
                 # Per-eval cell-relative position; NOT clamped to [0,1] —
                 # out-of-cell taps linearly extrapolate the center patch.
@@ -339,11 +431,25 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 wx = jnp.where(dxs == 1, fex, 1.0 - fex)  # [8,P]
                 wy = jnp.where(dys == 1, fey, 1.0 - fey)
                 wz = jnp.where(dzs == 1, fez, 1.0 - fez)
-                weights = wx * wy * wz
-                out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))
-                if mask_l is not None:
-                    out_l = out_l * mask_l.astype(out_l.dtype)
-                outs[e].append(out_l)
+                w_evals.append(wx * wy * wz)
+            if corner_key is not None:
+                out_le = corner_sampled_combine(
+                    table[lv], idx, jnp.stack(w_evals, axis=0),
+                    jax.random.fold_in(corner_key, lv), floor=corner_floor,
+                )  # [E,F,P]
+                for e in range(E):
+                    out_l = out_le[e]
+                    if mask_l is not None:
+                        out_l = out_l * mask_l.astype(out_l.dtype)
+                    outs[e].append(out_l)
+            else:
+                feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
+                for e in range(E):
+                    out_l = jnp.einsum(
+                        "cpf,cp->fp", feats, w_evals[e].astype(feats.dtype))
+                    if mask_l is not None:
+                        out_l = out_l * mask_l.astype(out_l.dtype)
+                    outs[e].append(out_l)
         else:
             # --- exact path: per-eval cell + gather (same math as `encode`) ---
             for e in range(E):
@@ -359,12 +465,20 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 iy = cy + dys.astype(jnp.uint32)
                 iz = cz + dzs.astype(jnp.uint32)
                 idx = level_index(ix, iy, iz, lv)
-                feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
                 wx = jnp.where(dxs == 1, fex, 1.0 - fex)
                 wy = jnp.where(dys == 1, fey, 1.0 - fey)
                 wz = jnp.where(dzs == 1, fez, 1.0 - fez)
                 weights = wx * wy * wz
-                out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))
+                if corner_key is not None:
+                    out_l = corner_sampled_combine(
+                        table[lv], idx, weights[None],
+                        jax.random.fold_in(corner_key, lv * (E + 1) + e + 1),
+                        floor=corner_floor,
+                    )[0]
+                else:
+                    feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
+                    out_l = jnp.einsum(
+                        "cpf,cp->fp", feats, weights.astype(feats.dtype))
                 if mask_l is not None:
                     out_l = out_l * mask_l.astype(out_l.dtype)
                 outs[e].append(out_l)

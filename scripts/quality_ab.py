@@ -422,6 +422,44 @@ def main():
             ("slev=6", with_slev(6)),
             ("slev=4", with_slev(4)),
         ]
+    elif study == "csamp":
+        # Corner-sampled backward table scatter under the full composed12f8
+        # knobs: forward identical, table gradients become an unbiased
+        # one-corner-per-point subsample (ops/hashgrid.corner_sampled_combine)
+        # — 8x fewer backward scatter rows for pure gradient noise. The gate
+        # measures whether that noise costs convergence PSNR.
+        def c12f8_base():
+            e_levels = 12
+
+            def f(cfg):
+                e = cfg.model.object.sdf.encoding
+                e.levels = e_levels
+                e.hashgrid.dim = 4
+                e.hashgrid.dict_size = 13
+                e.coarse2fine.init_active_level = 4
+                e.coarse2fine.step = int(e.coarse2fine.step * 16 / e_levels / 2)
+                cfg.model.render.num_samples.coarse = 24
+                cfg.model.render.num_sample_hierarchy = 1
+                cfg.model.object.sdf.gradient.shared_levels = e_levels
+                cfg.model.object.sdf.gradient.hessian.mode = "exact"
+                cfg.model.object.sdf.gradient.hessian.fraction = 0.125
+            return f
+
+        def with_csamp(floor):
+            base = c12f8_base()
+
+            def f(cfg):
+                base(cfg)
+                cs = cfg.model.object.sdf.gradient.corner_sample
+                cs.enabled = True
+                cs.floor = floor
+            return f
+
+        variants = [
+            ("A: composed12f8 (exact scatter)", c12f8_base()),
+            ("csamp floor=0.125", with_csamp(0.125)),
+            ("csamp floor=0.03", with_csamp(0.03)),
+        ]
     elif study == "fhalf":
         # Equal-BYTES feature-width question at the ultra-small-table tier:
         # production dict14F8 and dict15F4 have identical per-level table
