@@ -192,3 +192,27 @@ def test_subsampled_gradients_sharded_matches_unsharded(tmp_path):
         tr.train(arrays)
         results[mesh_mode] = (tr.losses_host["render"], tr.losses_host["curvature"])
     np.testing.assert_allclose(results["none"], results["rays"], rtol=1e-4)
+
+
+def test_corner_sampled_sharded_matches_unsharded(tmp_path):
+    """The corner-sampled backward (gradient.corner_sample) under ray sharding:
+    XLA SPMD keeps global shapes, so the per-point corner draws (and therefore
+    the sampled table gradients) are identical to the replicated run."""
+    from tests.test_train_e2e import tiny_lumen_cfg
+    from mlinerf_tpu.config import resolve
+
+    results = {}
+    for mesh_mode in ("none", "rays"):
+        cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=3)
+        cfg.model.render.rand_rays = 64
+        cfg.runtime.mesh = mesh_mode
+        cfg.model.object.sdf.gradient.corner_sample.enabled = True
+        cfg.model.object.sdf.gradient.shared_levels = "auto"
+        cfg.model.object.sdf.gradient.hessian.mode = "exact"
+        Dataset = resolve("dataset", cfg.data.type)
+        arrays = Dataset(cfg).as_arrays()
+        Trainer = resolve("trainer", cfg.trainer.type)
+        tr = Trainer(cfg, seed=0, logdir=str(tmp_path / f"cs_{mesh_mode}"))
+        tr.train(arrays)
+        results[mesh_mode] = tr.losses_host["render"]
+    np.testing.assert_allclose(results["none"], results["rays"], rtol=1e-4)
