@@ -363,6 +363,14 @@ def main():
                 cfg.model.object.sdf.encoding.hashgrid.dict_size = dict_size
             return f
 
+        def _c16_at_dict(set_composed_at_fn, dict_size):
+            base = set_composed_at_fn(16, 0.25)
+
+            def f(cfg):
+                base(cfg)
+                cfg.model.object.sdf.encoding.hashgrid.dict_size = dict_size
+            return f
+
         variants = [
             ("A: L16 F4 dict13 (prod-shaped ref)", shape(16)),
             # Toy mirror of the CURRENT bench default (composed: L16,
@@ -370,6 +378,11 @@ def main():
             # L12 candidates against the accepted default under the same
             # in-cell control (attribution for seed-specific fails).
             ("c16 composed mirror", set_composed_at(16, 0.25)),
+            # L16 composed mirror at -2 capacity bits (prod dict19 -> 17
+            # mirror): the dict ladder was only measured under the L12
+            # composition; this cell prices the capacity cut for the
+            # L16 default family. (name avoids "dict11"/"c16 composed".)
+            ("c16d11 capacity", _c16_at_dict(set_composed_at, 11)),
             ("composed12 f=0.25", set_composed12(0.25)),
             ("composed12 f=0.125", set_composed12(0.125)),
             # Capacity ladder under the f=0.125 composition (toy mirror of
@@ -455,10 +468,30 @@ def main():
                 cs.floor = floor
             return f
 
+        # L16 mirror of the CURRENT default (composed: f=0.25) — the seed-3
+        # attribution implicated the L12 cut, so the flip-relevant csamp gate
+        # is on the L16 composition. dict stays 13 (prod dict19 mirror).
+        def c16_base(cfg):
+            cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
+            cfg.model.render.num_samples.coarse = 24
+            cfg.model.render.num_sample_hierarchy = 1
+            L = cfg.model.object.sdf.encoding.levels
+            cfg.model.object.sdf.gradient.shared_levels = L
+            cfg.model.object.sdf.gradient.hessian.mode = "exact"
+            cfg.model.object.sdf.gradient.hessian.fraction = 0.25
+
+        def c16_csamp(cfg):
+            c16_base(cfg)
+            cs = cfg.model.object.sdf.gradient.corner_sample
+            cs.enabled = True
+            cs.floor = 0.125
+
         variants = [
             ("A: composed12f8 (exact scatter)", c12f8_base()),
             ("csamp floor=0.125", with_csamp(0.125)),
             ("csamp floor=0.03", with_csamp(0.03)),
+            ("B: c16 composed (exact scatter)", c16_base),
+            ("c16 csamp", c16_csamp),
         ]
     elif study == "fhalf":
         # Equal-BYTES feature-width question at the ultra-small-table tier:
