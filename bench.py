@@ -27,11 +27,14 @@ BASELINE_RAYS_PER_SEC = 18_000.0
 # Which named config the bench measures when BENCH_CONFIG is unset.
 # "composed" (dict19 capacity split + 32+2x16 sample budget + all-shared
 # stencil + exact strided hessian f=0.25): 1905.7 rays/s measured on the
-# chip, and the ONLY fast configuration whose convergence-length (2000-iter)
-# quality gates passed at BOTH seeds as a composition (-0.13/-0.08 dB,
-# in-cell controls) on top of per-knob gates — PERF.md. Faster candidates
-# (composed12*, topk) are gated/projected but were not measured on hardware
-# before the tunnel outage; they stay opt-in via BENCH_CONFIG.
+# chip (re-confirmed 1905.5 in a fresh process), and the fastest
+# configuration whose convergence-length (2000-iter) quality gates passed
+# at every measured seed (-0.13/-0.08/-0.13 dB at seeds 1/0/3, in-cell
+# controls) on top of per-knob gates — PERF.md. composed12* measured faster
+# (2522.6 / 3134.2 rays/s) but the L16 -> L12 cut FAILED its seed-3 sphere
+# gate (-0.45 vs control where the L16 mirror costs its usual -0.13), so
+# they stay opt-in. composedcs* (corner-sampled backward scatter) are the
+# round-2 continuation candidates, gated by queues r2m/r2n.
 DEFAULT_CONFIG = "composed"
 
 
@@ -105,8 +108,8 @@ def build_bench_cfg():
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
     e = cfg.model.object.sdf.encoding
     if named in ("budget", "lvl12", "composed", "composed12", "composed12f8",
-                 "composed12topk"):
-        e.hashgrid.dict_size = 19
+                 "composed12topk", "composedcs", "composedcs17"):
+        e.hashgrid.dict_size = 17 if named == "composedcs17" else 19
         cfg.model.render.num_samples.coarse = 32
         cfg.model.render.num_sample_hierarchy = 2
         if named in ("lvl12", "composed12", "composed12f8", "composed12topk"):
@@ -116,6 +119,10 @@ def build_bench_cfg():
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
             cfg.model.object.sdf.gradient.hessian.fraction = (
                 0.125 if named in ("composed12f8", "composed12topk") else 0.25)
+        if named in ("composedcs", "composedcs17"):
+            # Corner-sampled backward table scatter on the L16 composed
+            # shape (ops/hashgrid.corner_sampled_combine; gates r2m/r2n).
+            cfg.model.object.sdf.gradient.corner_sample.enabled = True
         if named == "composed12topk":
             cfg.model.object.sdf.gradient.subsample.enabled = True
             cfg.model.object.sdf.gradient.subsample.topk = 16

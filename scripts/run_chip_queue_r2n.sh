@@ -39,15 +39,16 @@ probe c16_csamp_d19.log BENCH_CONFIG=composed BENCH_CORNER_SAMPLE=1
 probe c16_csamp_d17.log BENCH_CONFIG=composed BENCH_DICT_SIZE=17 BENCH_CORNER_SAMPLE=1
 
 # 2. csamp gate on the L16 composed mirror (sphere, 2000 iters, 2 seeds).
-#    B: in-cell exact-scatter control; A: prod-shaped reference control.
+#    B: in-cell exact-scatter control (A-bar comparability comes from the
+#    c16-vs-A deltas already measured in the composed12 cells).
 ab c16csamp_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere \
-   AB_VARIANTS="A:,B:,c16 csamp"
+   AB_VARIANTS="B:,c16 csamp"
 ab c16csamp_s1.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=1 AB_SCENE=sphere \
-   AB_VARIANTS="A:,B:,c16 csamp"
+   AB_VARIANTS="B:,c16 csamp"
 
 # 3. Cluttered stress gate for c16 csamp
 ab c16csamp_clut_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=cluttered \
-   AB_VARIANTS="A:,B:,c16 csamp"
+   AB_VARIANTS="B:,c16 csamp"
 
 # 4. L16 capacity cell (prod dict17 mirror) on the cluttered scene
 ab c16d11_clut_s0.log AB_STUDY=composed12 AB_ITERS=2000 AB_SEED=0 AB_SCENE=cluttered \
