@@ -120,7 +120,7 @@ def _corner_indices(spec: HashGridSpec):
     return corners
 
 
-def _corner_sampled_combine_fn(floor: float):
+def _corner_sampled_combine_fn(floor: float, k_samples: int = 1):
     """Trilinear combine with a corner-SAMPLED backward table scatter.
 
     Forward is the exact weighted corner gather
@@ -174,15 +174,20 @@ def _corner_sampled_combine_fn(floor: float):
         s0 = jnp.maximum(jnp.sum(w0, axis=0, keepdims=True), 1e-9)
         q = (1.0 - floor) * (w0 / s0) + floor / 8.0  # [8,P]
         cdf = jnp.cumsum(q, axis=0)
-        u = jax.random.uniform(key, (1, P), jnp.float32) * cdf[-1:]
-        c = jnp.sum((u > cdf[:-1]).astype(jnp.int32), axis=0)[None]  # [1,P]
-        idx_sel = jnp.take_along_axis(idx, c, axis=0)[0]  # [P]
-        q_sel = jnp.maximum(jnp.take_along_axis(q, c, axis=0)[0], 1e-9)  # [P]
+        # k_samples independent draws (with replacement), each contributing
+        # val/k — unbiased for any k; variance ~1/k at 1 extra scatter row
+        # per point per extra sample.
+        u = jax.random.uniform(key, (k_samples, P), jnp.float32) * cdf[-1:]
+        c = jnp.sum((u[:, None, :] > cdf[None, :-1, :]).astype(jnp.int32),
+                    axis=1)  # [K,P]
+        idx_sel = jnp.take_along_axis(idx, c, axis=0)  # [K,P]
+        q_sel = jnp.maximum(jnp.take_along_axis(q, c, axis=0), 1e-9)  # [K,P]
         w_sel = jnp.take_along_axis(
-            weights_all, c[None], axis=1)[:, 0].astype(jnp.float32)  # [E,P]
-        val = jnp.einsum("efp,ep->fp", ct.astype(jnp.float32), w_sel)  # [F,P]
-        val = (val / q_sel).astype(table_lv.dtype)
-        gt = jnp.zeros_like(table_lv).at[idx_sel].add(val.T)
+            weights_all[:, None], c[None, None], axis=2)[:, 0].astype(jnp.float32)  # [E,K,P]
+        val = jnp.einsum("efp,ekp->fkp", ct.astype(jnp.float32), w_sel)  # [F,K,P]
+        val = (val / (q_sel * k_samples)).astype(table_lv.dtype)
+        gt = jnp.zeros_like(table_lv).at[idx_sel.reshape(-1)].add(
+            jnp.moveaxis(val, 0, -1).reshape(-1, val.shape[0]))
         f0 = jax.dtypes.float0
         return gt, np.zeros(idx.shape, f0), gw, np.zeros(key.shape, f0)
 
@@ -190,14 +195,16 @@ def _corner_sampled_combine_fn(floor: float):
     return combine
 
 
-# One instance per floor value (the floor is trace-static).
+# One instance per (floor, k) value (both are trace-static).
 _CSAMP_CACHE = {}
 
 
-def corner_sampled_combine(table_lv, idx, weights_all, key, floor: float = 0.125):
-    fn = _CSAMP_CACHE.get(floor)
+def corner_sampled_combine(table_lv, idx, weights_all, key, floor: float = 0.125,
+                           k_samples: int = 1):
+    spec = (float(floor), int(k_samples))
+    fn = _CSAMP_CACHE.get(spec)
     if fn is None:
-        fn = _CSAMP_CACHE[floor] = _corner_sampled_combine_fn(float(floor))
+        fn = _CSAMP_CACHE[spec] = _corner_sampled_combine_fn(*spec)
     return fn(table_lv, idx, weights_all, key)
 
 
@@ -221,7 +228,8 @@ def _row_take_fn(pallas_backward: bool):
 
 
 def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
-           pallas_backward: bool = False, corner_key=None, corner_floor: float = 0.125):
+           pallas_backward: bool = False, corner_key=None, corner_floor: float = 0.125,
+           corner_k: int = 1):
     """Encode 3D points into concatenated per-level features.
 
     ``corner_key`` (optional uint32 PRNG key): route the backward through the
@@ -305,7 +313,7 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
         if corner_key is not None:
             out_l = corner_sampled_combine(
                 table[lv], idx, weights[None], jax.random.fold_in(corner_key, lv),
-                floor=corner_floor,
+                floor=corner_floor, k_samples=corner_k,
             )[0]  # [F,P]
         else:
             feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
@@ -323,7 +331,7 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
 def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                    shared_levels: int = 0, max_levels=None,
                    pallas_backward: bool = False, corner_key=None,
-                   corner_floor: float = 0.125):
+                   corner_floor: float = 0.125, corner_k: int = 1):
     """Encode a stencil of points (center + taps) with shared corner gathers.
 
     The numerical-gradient path (reference
@@ -436,6 +444,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 out_le = corner_sampled_combine(
                     table[lv], idx, jnp.stack(w_evals, axis=0),
                     jax.random.fold_in(corner_key, lv), floor=corner_floor,
+                    k_samples=corner_k,
                 )  # [E,F,P]
                 for e in range(E):
                     out_l = out_le[e]

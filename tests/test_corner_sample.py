@@ -51,15 +51,16 @@ def test_forward_matches_exact():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("signed", [False, True])
-def test_table_gradient_unbiased(signed):
+@pytest.mark.parametrize("signed,k_samples", [(False, 1), (True, 1), (True, 2)])
+def test_table_gradient_unbiased(signed, k_samples):
     E = 5 if signed else 1
     table, idx, weights = _random_problem(
         jax.random.PRNGKey(1), E=E, signed_weights=signed)
     ct = jax.random.normal(jax.random.PRNGKey(2), (E, table.shape[1], idx.shape[1]))
 
     def loss_sampled(t, key):
-        return jnp.sum(hashgrid.corner_sampled_combine(t, idx, weights, key) * ct)
+        return jnp.sum(hashgrid.corner_sampled_combine(
+            t, idx, weights, key, k_samples=k_samples) * ct)
 
     def loss_exact(t):
         return jnp.sum(_exact_combine(t, idx, weights) * ct)
