@@ -1,10 +1,16 @@
 #!/usr/bin/env python
-"""Throughput benchmark: stage-a training step at the reference workload.
+"""Throughput benchmark: stage-a training step.
 
-Workload mirrors the reference's published training configuration
-(syn_hotdog_a: 2048 rays/iter, 64 coarse + 4x16 hierarchical samples, 16-level
-2^22-entry dim-8 hash grid, 4-tap numerical gradients, 1+4-layer 256-wide
-MLPs — projects/NeuralLumen/configs/syn_hotdog_a.yaml + neuralangelo base).
+BENCH_CONFIG=reference mirrors the reference's published training
+configuration exactly (syn_hotdog_a: 2048 rays/iter, 64 coarse + 4x16
+hierarchical samples, 16-level 2^22-entry dim-8 hash grid, 4-tap numerical
+gradients, 1+4-layer 256-wide MLPs —
+projects/NeuralLumen/configs/syn_hotdog_a.yaml + neuralangelo base).
+The DEFAULT measures the quality-gated TPU fast path, which DEVIATES from
+those semantics (dict 2^22 -> 2^19, samples 64+4x16 -> 32+2x16, shared-tap
+stencil + strided exact hessian; every delta's gate is in PERF.md) — the
+JSON line carries the active delta explicitly in
+``semantics_delta_vs_reference``.
 
 Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
@@ -211,6 +217,12 @@ def build_bench_cfg():
         fl = os.environ.get("BENCH_CORNER_FLOOR")
         if fl:
             cs.floor = float(fl)
+    # BENCH_CORNER_MODE=center|cotangent overrides the sampling distribution
+    # (config default: cotangent — the center heuristic failed its sphere
+    # gates; see ops/hashgrid._corner_sampled_combine_fn).
+    cmode = os.environ.get("BENCH_CORNER_MODE")
+    if cmode:
+        cfg.model.object.sdf.gradient.corner_sample.mode = cmode
     topk = os.environ.get("BENCH_TOPK")
     if topk:
         sub = cfg.model.object.sdf.gradient.subsample
@@ -267,12 +279,32 @@ def measure(steps_per_dispatch: int) -> None:
     times.sort()
     dt = times[len(times) // 2] / steps_per_dispatch
     rays_per_sec = cfg.model.render.rand_rays * cfg.data.train.batch_size / dt
+    # Semantics delta vs the reference's published shape (syn_hotdog_a:
+    # dict 2^22, L16 F8, 64 + 4x16 samples, exact 4-tap gradients). Every
+    # deviation below is quality-gated (PERF.md ledger), but the headline
+    # JSON must carry it explicitly — "what is being measured" should not
+    # require cross-referencing the config code.
+    e = cfg.model.object.sdf.encoding
+    grad = cfg.model.object.sdf.gradient
+    ref = {"dict_size": 22, "levels": 16, "coarse": 64, "hierarchy": 4,
+           "shared_levels": 0, "hessian": "n/a (exact taps)",
+           "corner_sample": False}
+    cur = {"dict_size": int(e.hashgrid.dict_size), "levels": int(e.levels),
+           "coarse": int(cfg.model.render.num_samples.coarse),
+           "hierarchy": int(cfg.model.render.num_sample_hierarchy),
+           "shared_levels": grad.shared_levels,
+           "hessian": f"{grad.hessian.mode} f={grad.hessian.fraction}"
+                      if grad.shared_levels else "n/a (exact taps)",
+           "corner_sample": bool(grad.corner_sample.enabled) and
+                            str(grad.corner_sample.mode)}
+    delta = {k: f"{ref[k]} -> {cur[k]}" for k in ref if cur[k] != ref[k]}
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
         "config": os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG),
+        "semantics_delta_vs_reference": delta or "none (reference-exact)",
         "steps_per_dispatch": steps_per_dispatch,
         "window_times_s": [round(t, 3) for t in times],
     }))

@@ -120,7 +120,8 @@ def _corner_indices(spec: HashGridSpec):
     return corners
 
 
-def _corner_sampled_combine_fn(floor: float, k_samples: int = 1):
+def _corner_sampled_combine_fn(floor: float, k_samples: int = 1,
+                               mode: str = "center"):
     """Trilinear combine with a corner-SAMPLED backward table scatter.
 
     Forward is the exact weighted corner gather
@@ -128,19 +129,42 @@ def _corner_sampled_combine_fn(floor: float, k_samples: int = 1):
     take+einsum path). Backward replaces the per-corner scatter-add — 8 rows
     per (point, level), the dominant cost of the TPU train step (PERF.md:
     scatter-add is per-ROW latency-bound on v5e) — with ONE row per point:
-    an unbiased single-sample estimator over the corner axis.
+    an unbiased single-sample estimator over the corner axis. The true
+    per-corner cotangent row is ``v[c] = sum_e weights[e,c] * ct[e]``; a
+    corner ``c*`` is drawn from a distribution ``q`` (summing to 1) and the
+    scattered row is ``v[c*] / q[c*]`` — ``E[v[c*]/q[c*]] = sum_c v[c]``,
+    unbiased for any strictly-positive ``q``.
 
-    Estimator: corner ``c*`` is drawn per point from
-    ``q = (1-floor) * w_center / sum(w_center) + floor/8`` (trilinear center
-    weights are non-negative and sum to 1, so with floor=0 this is exactly
-    importance sampling by contribution), and the scattered row is
-    ``v[c*] / q[c*]`` where ``v[c] = sum_e weights[e,c] * ct[e]`` is the true
-    per-corner cotangent row. ``E[v[c*]/q[c*]] = sum_c v[c]`` — unbiased for
-    every eval in the stencil, including out-of-cell tap extrapolations whose
-    weights can be negative (the floor bounds ``1/q`` for corners where the
-    center weight vanishes but a tap weight does not). The estimator's
-    variance acts as extra SGD gradient noise on the tables; quality is gated
-    per-config by scripts/quality_ab.py AB_STUDY=csamp.
+    Three sampling distributions (``mode``):
+
+      * ``"cotangent"``: ``q ~ |v[c]|_1`` mixed with a uniform
+        floor — the variance-OPTIMAL importance distribution. Computing all
+        8 rows of ``v`` is one extra VPU einsum (no scatter); with floor=0
+        the scattered row's L1 norm is a per-point CONSTANT
+        (``sum_c |v[c]|``), so only the direction is stochastic. This is
+        what makes the estimator survive the stencil path, where tap
+        extrapolation weights can be large on corners whose CENTER weight
+        vanishes.
+      * ``"top1cot"``: Rao-Blackwellized cotangent — the corner
+        with the LARGEST cotangent norm is scattered EXACTLY (its row
+        carries most of the gradient mass: the trilinear max weight is
+        >= 1/8 and typically 0.3-0.7), and ONE residual corner is
+        importance-sampled from the remaining seven by their norms.
+        ``E = v[max] + sum_{c != max} v[c]`` — unbiased, and only the
+        residual (minority) mass is stochastic, so variance falls several-
+        fold below ``"cotangent"`` at 2 scatter rows per point (still a 4x
+        row cut vs the exact 8-corner scatter). ``k_samples`` counts
+        residual draws (rows per point = 1 + k).
+      * ``"center"``: ``q = (1-floor) * w_center/sum(w_center) + floor/8``
+        (trilinear center weights, non-negative, sum to 1). Cheaper to
+        compute but mismatched to the stencil's signed tap weights: the
+        ratio ``v[c*]/q[c*]`` amplifies up to ``8/floor`` where a tap weight
+        is large and the center weight ~0. MEASURED REJECTED as a default:
+        the 2000-iter sphere gate collapsed -3.73 dB at seed 0 (PERF.md
+        round-3 csamp ledger); kept for the ablation record.
+
+    The estimator's variance acts as extra SGD gradient noise on the tables;
+    quality is gated per-config by scripts/quality_ab.py AB_STUDY=csamp.
 
     The weights cotangent is computed exactly (re-gather + einsum, ~10x
     cheaper per row than scatters); when nothing differentiates through the
@@ -169,23 +193,68 @@ def _corner_sampled_combine_fn(floor: float, k_samples: int = 1):
         feats = jnp.take(table_lv, idx.reshape(-1), axis=0).reshape(
             idx.shape[0], P, table_lv.shape[-1])
         gw = jnp.einsum("efp,cpf->ecp", ct, feats).astype(weights_all.dtype)
-        # Corner sampling distribution from the center-eval weights.
-        w0 = jnp.maximum(weights_all[0].astype(jnp.float32), 0.0)  # [8,P]
-        s0 = jnp.maximum(jnp.sum(w0, axis=0, keepdims=True), 1e-9)
-        q = (1.0 - floor) * (w0 / s0) + floor / 8.0  # [8,P]
+        if mode in ("cotangent", "top1cot"):
+            # Exact per-corner cotangent rows for ALL 8 corners (VPU einsum,
+            # no scatter), then importance-sample by their L1 norm — the
+            # variance-optimal q for this estimator.
+            v = jnp.einsum("efp,ecp->cfp", ct.astype(jnp.float32),
+                           weights_all.astype(jnp.float32))  # [8,F,P]
+            n = jnp.sum(jnp.abs(v), axis=1)  # [8,P]
+            if mode == "top1cot":
+                # Rao-Blackwellize: the argmax-norm corner is scattered
+                # exactly; q covers only the 7 residual corners.
+                m = jnp.argmax(n, axis=0)  # [P]
+                is_max = jnp.arange(8, dtype=m.dtype)[:, None] == m[None, :]
+                n_r = jnp.where(is_max, 0.0, n)  # [8,P]
+                s_r = jnp.sum(n_r, axis=0, keepdims=True)  # [1,P]
+                q = jnp.where(
+                    s_r > 0.0,
+                    (1.0 - floor) * n_r / jnp.maximum(s_r, 1e-30)
+                    + jnp.where(is_max, 0.0, floor / 7.0),
+                    jnp.where(is_max, 0.0, 1.0 / 7.0),
+                )  # [8,P], sums to 1, zero on the max corner
+            else:
+                s = jnp.sum(n, axis=0, keepdims=True)  # [1,P]
+                q = jnp.where(
+                    s > 0.0,
+                    (1.0 - floor) * n / jnp.maximum(s, 1e-30) + floor / 8.0,
+                    jnp.full_like(n, 1.0 / 8.0),
+                )  # [8,P], sums to 1
+        else:
+            # Corner sampling distribution from the center-eval weights.
+            w0 = jnp.maximum(weights_all[0].astype(jnp.float32), 0.0)  # [8,P]
+            s0 = jnp.maximum(jnp.sum(w0, axis=0, keepdims=True), 1e-9)
+            q = (1.0 - floor) * (w0 / s0) + floor / 8.0  # [8,P]
         cdf = jnp.cumsum(q, axis=0)
         # k_samples independent draws (with replacement), each contributing
         # val/k — unbiased for any k; variance ~1/k at 1 extra scatter row
         # per point per extra sample.
         u = jax.random.uniform(key, (k_samples, P), jnp.float32) * cdf[-1:]
-        c = jnp.sum((u[:, None, :] > cdf[None, :-1, :]).astype(jnp.int32),
+        # ``>=`` (corner intervals [cdf[i-1], cdf[i])) makes ZERO-width
+        # intervals unreachable for every u incl. u=0 — with top1cot's
+        # q[max]=0, a ``>`` rule would route the measure-zero u=0 draw to a
+        # zero-probability corner and divide by the clamp (a gradient bomb
+        # at ~2^-24 per draw x billions of draws per run).
+        c = jnp.sum((u[:, None, :] >= cdf[None, :-1, :]).astype(jnp.int32),
                     axis=1)  # [K,P]
         idx_sel = jnp.take_along_axis(idx, c, axis=0)  # [K,P]
         q_sel = jnp.maximum(jnp.take_along_axis(q, c, axis=0), 1e-9)  # [K,P]
-        w_sel = jnp.take_along_axis(
-            weights_all[:, None], c[None, None], axis=2)[:, 0].astype(jnp.float32)  # [E,K,P]
-        val = jnp.einsum("efp,ekp->fkp", ct.astype(jnp.float32), w_sel)  # [F,K,P]
-        val = (val / (q_sel * k_samples)).astype(table_lv.dtype)
+        if mode in ("cotangent", "top1cot"):
+            v_sel = jnp.take_along_axis(v, c[:, None, :], axis=0)  # [K,F,P]
+            val = jnp.transpose(v_sel, (1, 0, 2)) / (q_sel * k_samples)  # [F,K,P]
+            if mode == "top1cot":
+                # Prepend the exact argmax-corner row (weight 1, no /q).
+                idx_sel = jnp.concatenate(
+                    [jnp.take_along_axis(idx, m[None], axis=0), idx_sel], axis=0)
+                v_m = jnp.take_along_axis(v, m[None, None, :], axis=0)  # [1,F,P]
+                val = jnp.concatenate(
+                    [jnp.transpose(v_m, (1, 0, 2)), val], axis=1)  # [F,1+K,P]
+        else:
+            w_sel = jnp.take_along_axis(
+                weights_all[:, None], c[None, None], axis=2)[:, 0].astype(jnp.float32)  # [E,K,P]
+            val = jnp.einsum("efp,ekp->fkp", ct.astype(jnp.float32), w_sel)  # [F,K,P]
+            val = val / (q_sel * k_samples)
+        val = val.astype(table_lv.dtype)
         gt = jnp.zeros_like(table_lv).at[idx_sel.reshape(-1)].add(
             jnp.moveaxis(val, 0, -1).reshape(-1, val.shape[0]))
         f0 = jax.dtypes.float0
@@ -195,13 +264,13 @@ def _corner_sampled_combine_fn(floor: float, k_samples: int = 1):
     return combine
 
 
-# One instance per (floor, k) value (both are trace-static).
+# One instance per (floor, k, mode) value (all trace-static).
 _CSAMP_CACHE = {}
 
 
 def corner_sampled_combine(table_lv, idx, weights_all, key, floor: float = 0.125,
-                           k_samples: int = 1):
-    spec = (float(floor), int(k_samples))
+                           k_samples: int = 1, mode: str = "center"):
+    spec = (float(floor), int(k_samples), str(mode))
     fn = _CSAMP_CACHE.get(spec)
     if fn is None:
         fn = _CSAMP_CACHE[spec] = _corner_sampled_combine_fn(*spec)
@@ -229,7 +298,7 @@ def _row_take_fn(pallas_backward: bool):
 
 def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
            pallas_backward: bool = False, corner_key=None, corner_floor: float = 0.125,
-           corner_k: int = 1):
+           corner_k: int = 1, corner_mode: str = "cotangent"):
     """Encode 3D points into concatenated per-level features.
 
     ``corner_key`` (optional uint32 PRNG key): route the backward through the
@@ -313,7 +382,7 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
         if corner_key is not None:
             out_l = corner_sampled_combine(
                 table[lv], idx, weights[None], jax.random.fold_in(corner_key, lv),
-                floor=corner_floor, k_samples=corner_k,
+                floor=corner_floor, k_samples=corner_k, mode=corner_mode,
             )[0]  # [F,P]
         else:
             feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)
@@ -331,7 +400,8 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
 def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                    shared_levels: int = 0, max_levels=None,
                    pallas_backward: bool = False, corner_key=None,
-                   corner_floor: float = 0.125, corner_k: int = 1):
+                   corner_floor: float = 0.125, corner_k: int = 1,
+                   corner_mode: str = "cotangent"):
     """Encode a stencil of points (center + taps) with shared corner gathers.
 
     The numerical-gradient path (reference
@@ -444,7 +514,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 out_le = corner_sampled_combine(
                     table[lv], idx, jnp.stack(w_evals, axis=0),
                     jax.random.fold_in(corner_key, lv), floor=corner_floor,
-                    k_samples=corner_k,
+                    k_samples=corner_k, mode=corner_mode,
                 )  # [E,F,P]
                 for e in range(E):
                     out_l = out_le[e]
@@ -482,7 +552,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                     out_l = corner_sampled_combine(
                         table[lv], idx, weights[None],
                         jax.random.fold_in(corner_key, lv * (E + 1) + e + 1),
-                        floor=corner_floor,
+                        floor=corner_floor, k_samples=corner_k, mode=corner_mode,
                     )[0]
                 else:
                     feats = take(table[lv], idx.reshape(-1)).reshape(8, P, F)

@@ -36,23 +36,31 @@ def base_cfg(tmp, iters):
     from mlinerf_tpu.config import Config
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = Config(os.path.join(here, "configs", "syn_sphere_a.yaml"))
+    # AB_BASE_CONFIG swaps the whole cell substrate: the default is the toy
+    # 64x64 mirror (syn_sphere_a); AB_STUDY=prodscale uses
+    # syn_prodscale_a.yaml (production model shape, 256x256 cluttered scene)
+    # and keeps that config's own sizes.
+    base = os.environ.get("AB_BASE_CONFIG", "syn_sphere_a.yaml")
+    cfg = Config(os.path.join(here, "configs", base))
     cfg.max_iter = iters
-    cfg.logging_iter = iters
+    cfg.logging_iter = min(iters, 500)
     cfg.validation_iter = 10**9
     cfg.checkpoint.save_iter = 10**9
     cfg.checkpoint.save_latest_iter = 10**9
-    cfg.model.render.rand_rays = 256
-    cfg.model.render.rand_rays_val = 2048
-    cfg.data.train.image_size = [64, 64]
-    cfg.data.val.image_size = [64, 64]
-    cfg.data.num_cameras = 6
-    cfg.data.num_lights = 2
-    # AB_SCENE=cluttered swaps the single sphere for the multi-object
-    # hard-shadow scene (data/synthetic.py CLUTTERED_SPHERES) — the
-    # capacity-cut stress gate. Default stays the sphere so existing cells
-    # remain comparable.
-    cfg.data.scene = os.environ.get("AB_SCENE", "sphere")
+    if base == "syn_sphere_a.yaml":
+        cfg.model.render.rand_rays = 256
+        cfg.model.render.rand_rays_val = 2048
+        cfg.data.train.image_size = [64, 64]
+        cfg.data.val.image_size = [64, 64]
+        cfg.data.num_cameras = 6
+        cfg.data.num_lights = 2
+        # AB_SCENE=cluttered swaps the single sphere for the multi-object
+        # hard-shadow scene (data/synthetic.py CLUTTERED_SPHERES) — the
+        # capacity-cut stress gate. Default stays the sphere so existing
+        # cells remain comparable.
+        cfg.data.scene = os.environ.get("AB_SCENE", "sphere")
+    elif "AB_SCENE" in os.environ:
+        cfg.data.scene = os.environ["AB_SCENE"]
     return cfg
 
 
@@ -435,6 +443,34 @@ def main():
             ("slev=6", with_slev(6)),
             ("slev=4", with_slev(4)),
         ]
+    elif study == "slev16":
+        # Sampling-PDF level truncation under the L16 composed(+cscot)
+        # family — the flip-relevant variant after the L12 seed-3 rejection.
+        # cs17_slev4 probe: 6164.9 vs 5684.8 rays/s (+8.4%) at the
+        # composedcs17 point. Placement-only knob; in-cell control.
+        def c16cs(slev=None, csamp=True):
+            def f(cfg):
+                cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
+                cfg.model.render.num_samples.coarse = 24
+                cfg.model.render.num_sample_hierarchy = 1
+                L = cfg.model.object.sdf.encoding.levels
+                cfg.model.object.sdf.gradient.shared_levels = L
+                cfg.model.object.sdf.gradient.hessian.mode = "exact"
+                cfg.model.object.sdf.gradient.hessian.fraction = 0.25
+                if csamp:
+                    cs = cfg.model.object.sdf.gradient.corner_sample
+                    cs.enabled = True
+                    cs.floor = 0.125
+                    cs.mode = "cotangent"
+                if slev is not None:
+                    cfg.model.render.sampling_levels = slev
+            return f
+
+        variants = [
+            ("A: c16 cscot (all sampling levels)", c16cs()),
+            ("c16 cscot slev=6", c16cs(slev=6)),
+            ("c16 cscot slev=4", c16cs(slev=4)),
+        ]
     elif study == "csamp":
         # Corner-sampled backward table scatter under the full composed12f8
         # knobs: forward identical, table gradients become an unbiased
@@ -458,7 +494,7 @@ def main():
                 cfg.model.object.sdf.gradient.hessian.fraction = 0.125
             return f
 
-        def with_csamp(floor):
+        def with_csamp(floor, mode="center", corners=1):
             base = c12f8_base()
 
             def f(cfg):
@@ -466,6 +502,8 @@ def main():
                 cs = cfg.model.object.sdf.gradient.corner_sample
                 cs.enabled = True
                 cs.floor = floor
+                cs.mode = mode
+                cs.corners = corners
             return f
 
         # L16 mirror of the CURRENT default (composed: f=0.25) — the seed-3
@@ -480,18 +518,37 @@ def main():
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
             cfg.model.object.sdf.gradient.hessian.fraction = 0.25
 
-        def c16_csamp(cfg):
-            c16_base(cfg)
-            cs = cfg.model.object.sdf.gradient.corner_sample
-            cs.enabled = True
-            cs.floor = 0.125
+        def c16_csamp(mode="center", corners=1):
+            def f(cfg):
+                c16_base(cfg)
+                cs = cfg.model.object.sdf.gradient.corner_sample
+                cs.enabled = True
+                cs.floor = 0.125
+                cs.mode = mode
+                cs.corners = corners
+            return f
 
+        # NOTE (round 3): the original "c16 csamp"/"csamp floor=" variants
+        # used the CENTER-weight sampling distribution — the r2q gates
+        # measured it collapsing on the sphere (-3.73/-0.98 dB at s0/s1)
+        # because the stencil's signed tap weights mismatch the center-only
+        # q (importance ratio up to 8/floor). The "-cot" variants sample
+        # corners from the actual per-corner cotangent norm (the
+        # variance-optimal q; ops/hashgrid mode="cotangent"). The center
+        # variants keep mode pinned so the rejected evidence stays
+        # reproducible.
         variants = [
             ("A: composed12f8 (exact scatter)", c12f8_base()),
-            ("csamp floor=0.125", with_csamp(0.125)),
-            ("csamp floor=0.03", with_csamp(0.03)),
+            ("csamp floor=0.125", with_csamp(0.125, mode="center")),
+            ("csamp floor=0.03", with_csamp(0.03, mode="center")),
+            ("csamp-cot L12", with_csamp(0.125, mode="cotangent")),
             ("B: c16 composed (exact scatter)", c16_base),
-            ("c16 csamp", c16_csamp),
+            ("c16 csamp", c16_csamp(mode="center")),
+            ("c16 csamp-cot", c16_csamp(mode="cotangent")),
+            ("c16 csamp-k2cot", c16_csamp(mode="cotangent", corners=2)),
+            # Rao-Blackwellized: exact argmax-norm row + 1 sampled residual
+            # row (2 rows/point, variance well below k2cot's 2 iid draws).
+            ("c16 csamp-top1", c16_csamp(mode="top1cot")),
         ]
     elif study == "fhalf":
         # Equal-BYTES feature-width question at the ultra-small-table tier:
@@ -577,6 +634,70 @@ def main():
             ("topk=24 stride=8", set_topk(24, 8)),
             ("topk=16 stride=8", set_topk(16, 8)),
             ("topk=8 stride=8", set_topk(8, 8)),
+        ]
+    elif study == "prodscale":
+        # PRODUCTION-SHAPED semantics gate (round-3 verdict item 2): the real
+        # L16F8 dict19 model (syn_prodscale_a.yaml) on the 256x256 cluttered
+        # scene, pricing the shipped default's deltas from reference
+        # semantics at production shape:
+        #   A: exact 4-tap gradients, 64 + 4x16 samples (reference gradient
+        #      + budget semantics; dict19 in all arms — see the yaml header)
+        #   B: + sample budget 32 + 2x16 ("budget")
+        #   C: + all-shared stencil + exact strided hessian f=0.25 (the
+        #      shipped "composed" default)
+        #   D: + corner-sampled backward scatter (cotangent mode)
+        # Chip cost at 1024 rays, 3000 iters: A ~2h, B ~1h, C ~0.5h, D ~0.3h.
+        os.environ.setdefault("AB_BASE_CONFIG", "syn_prodscale_a.yaml")
+
+        def scale_sched(cfg):
+            # Keep the warmup/growth/decay FRACTIONS of the 3000-iter design
+            # when AB_ITERS differs.
+            s = cfg.max_iter / 3000.0
+            if s != 1.0:
+                cfg.optim.sched.warm_up_end = int(300 * s)
+                cfg.optim.sched.two_steps = [int(1800 * s), int(2400 * s)]
+                cfg.model.object.sdf.encoding.coarse2fine.step = max(int(108 * s), 1)
+
+        def exact_c64h4(cfg):
+            scale_sched(cfg)
+            cfg.model.render.num_samples.coarse = 64
+            cfg.model.render.num_sample_hierarchy = 4
+
+        def budget(cfg):
+            scale_sched(cfg)
+            cfg.model.render.num_samples.coarse = 32
+            cfg.model.render.num_sample_hierarchy = 2
+
+        def composed(cfg):
+            budget(cfg)
+            L = cfg.model.object.sdf.encoding.levels
+            cfg.model.object.sdf.gradient.shared_levels = L
+            cfg.model.object.sdf.gradient.hessian.mode = "exact"
+            cfg.model.object.sdf.gradient.hessian.fraction = 0.25
+
+        def composed_cscot(cfg):
+            composed(cfg)
+            cs = cfg.model.object.sdf.gradient.corner_sample
+            cs.enabled = True
+            cs.floor = 0.125
+            cs.mode = "cotangent"
+
+        def composed_f4(cfg):
+            # Equal-BYTES F-halving at production shape (fhalf toy result:
+            # F4 at 2x rows beats F8 by +0.41 dB at equal table bytes —
+            # scatter rows and speed are F-independent): dict20 F4 vs the
+            # default dict19 F8. Narrower encoding (L16*4 = 64) feeds the
+            # same 256-wide MLPs.
+            composed(cfg)
+            cfg.model.object.sdf.encoding.hashgrid.dict_size = 20
+            cfg.model.object.sdf.encoding.hashgrid.dim = 4
+
+        variants = [
+            ("A: exact c64h4 (ref semantics)", exact_c64h4),
+            ("B: budget c32h2 exact", budget),
+            ("C: composed (shipped default)", composed),
+            ("D: composed+cscot", composed_cscot),
+            ("E: composed dict20F4 (equal-bytes)", composed_f4),
         ]
     elif study == "occ":
         def set_occ(enabled, coarse, hier):

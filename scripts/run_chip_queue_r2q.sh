@@ -1,7 +1,19 @@
 #!/bin/bash
 # Round-2 continuation queue q — the r2p plan rebuilt for a fresh session
 # (/tmp wiped, no r2l flag to wait on). Strictly serial; ONE TPU client at
-# a time. Flip-decision order:
+# a time.
+#
+# Deliberate prune vs the r2p plan (advisor item, round 2): the seed-1 L12
+# csamp gate (csamp_s1), cs17_ft_slev4 and cs17_hf1 were dropped to fit the
+# session budget — the L12 csamp family is opt-in documentation only (L12
+# was already rejected as a default at seed 3), so it gets single-seed
+# evidence; the two cs17 sub-probes are superseded by cs17_slev4/cs17_spd64.
+# RESULTS (2026-08-19 run, archived docs/round3_evidence/): the c16 csamp
+# gates FAILED on the sphere (-3.73/-0.98 dB) — see PERF.md "r2q gate
+# results"; round 3 replaces the center-weight corner draw with the
+# cotangent-norm draw (queue r3a).
+#
+# Flip-decision order:
 #
 #   1. composedcs / composedcs17 speed probes (the corner-sampled L16
 #      composed family — the only ungated knob on top of the fully-gated

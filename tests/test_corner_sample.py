@@ -51,8 +51,12 @@ def test_forward_matches_exact():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("signed,k_samples", [(False, 1), (True, 1), (True, 2)])
-def test_table_gradient_unbiased(signed, k_samples):
+@pytest.mark.parametrize("signed,k_samples,mode", [
+    (False, 1, "center"), (True, 1, "center"), (True, 2, "center"),
+    (False, 1, "cotangent"), (True, 1, "cotangent"), (True, 2, "cotangent"),
+    (False, 1, "top1cot"), (True, 1, "top1cot"), (True, 2, "top1cot"),
+])
+def test_table_gradient_unbiased(signed, k_samples, mode):
     E = 5 if signed else 1
     table, idx, weights = _random_problem(
         jax.random.PRNGKey(1), E=E, signed_weights=signed)
@@ -60,7 +64,7 @@ def test_table_gradient_unbiased(signed, k_samples):
 
     def loss_sampled(t, key):
         return jnp.sum(hashgrid.corner_sampled_combine(
-            t, idx, weights, key, k_samples=k_samples) * ct)
+            t, idx, weights, key, k_samples=k_samples, mode=mode) * ct)
 
     def loss_exact(t):
         return jnp.sum(_exact_combine(t, idx, weights) * ct)
@@ -74,6 +78,49 @@ def test_table_gradient_unbiased(signed, k_samples):
     err = np.abs(np.asarray(g_mean - g_exact))
     scale = np.abs(np.asarray(g_exact)).max() + 1.0
     assert err.max() / scale < 0.12, err.max() / scale
+
+
+def test_cotangent_mode_lower_variance_on_stencil():
+    """On a stencil-style problem (signed tap weights), sampling corners from
+    the cotangent norm must have (much) lower estimator variance than the
+    center-weight heuristic — this variance gap is the mechanism behind the
+    center mode's -3.73 dB sphere-gate collapse (PERF.md round-3)."""
+    table, idx, weights = _random_problem(
+        jax.random.PRNGKey(4), E=5, signed_weights=True)
+    ct = jax.random.normal(jax.random.PRNGKey(5), (5, table.shape[1], idx.shape[1]))
+
+    def grad_var(mode):
+        def loss(t, key):
+            return jnp.sum(hashgrid.corner_sampled_combine(
+                t, idx, weights, key, mode=mode) * ct)
+
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(800) + 1000)
+        g = jax.vmap(jax.grad(loss), in_axes=(None, 0))(table, keys)
+        return float(jnp.sum(jnp.var(g, axis=0)))
+
+    v_cot, v_cen = grad_var("cotangent"), grad_var("center")
+    assert v_cot < 0.5 * v_cen, (v_cot, v_cen)
+    # Rao-Blackwellized top1cot (exact argmax row + one sampled residual row,
+    # 2 rows/point) must in turn dominate plain cotangent sampling — the
+    # majority of the gradient mass becomes deterministic.
+    v_top = grad_var("top1cot")
+    assert v_top < 0.5 * v_cot, (v_top, v_cot)
+
+
+def test_top1cot_rows_and_exact_max_row():
+    """top1cot scatters at most two distinct rows per point, and with a
+    dominant corner the argmax row's contribution is exact (non-stochastic
+    across keys)."""
+    table, idx, weights = _random_problem(jax.random.PRNGKey(6), E=1)
+    ct = jnp.ones((1, table.shape[1], idx.shape[1]))
+
+    def loss(t, key):
+        return jnp.sum(hashgrid.corner_sampled_combine(
+            t, idx, weights, key, mode="top1cot") * ct)
+
+    g = jax.grad(loss)(table, jax.random.PRNGKey(11))
+    touched = int(jnp.sum(jnp.any(g != 0, axis=-1)))
+    assert touched <= 2 * idx.shape[1]
 
 
 def test_single_sample_rows():
