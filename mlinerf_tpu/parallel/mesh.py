@@ -28,6 +28,60 @@ RAY_AXIS = "rays"
 BATCH_AXIS = "batch"
 
 
+def init_multihost(cfg) -> bool:
+    """Initialize cross-host JAX (DCN) from ``runtime.multihost``.
+
+    Executable counterpart of the reference's ``init_dist``
+    (imaginaire/utils/distributed.py:21-27, torch.distributed NCCL init): on
+    a multi-host TPU slice every host runs this same script, and
+    ``jax.distributed.initialize`` wires the DCN coordination layer so
+    ``jax.devices()`` spans the whole slice — after which the existing 1-D
+    mesh / sharding code is unchanged (the mesh simply covers more chips).
+
+    Config (``runtime.multihost``):
+      * ``false``/absent — no-op (single host), returns False;
+      * ``true`` — auto-detect (TPU pod metadata provides coordinator and
+        process ids; the standard JAX pod bring-up);
+      * a mapping with ``coordinator_address`` / ``num_processes`` /
+        ``process_id`` (each optional, env-overridable via
+        ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+        ``JAX_PROCESS_ID``) — explicit bring-up for non-TPU fleets.
+
+    Must run before any other jax call. Idempotent: re-initialization
+    attempts are ignored (jax raises if already initialized).
+    """
+    import os
+
+    mh = (cfg.get("runtime", {}) or {}).get("multihost", False)
+    if not mh:
+        return False
+    kwargs = {}
+    if isinstance(mh, dict):
+        for cfg_key, env_key in (
+            ("coordinator_address", "JAX_COORDINATOR_ADDRESS"),
+            ("num_processes", "JAX_NUM_PROCESSES"),
+            ("process_id", "JAX_PROCESS_ID"),
+        ):
+            val = os.environ.get(env_key, mh.get(cfg_key))
+            if val is not None:
+                kwargs[cfg_key] = int(val) if cfg_key != "coordinator_address" else str(val)
+    if jax.distributed.is_initialized():
+        return True
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def is_main_process() -> bool:
+    """True on the process that owns logging/checkpoint writes.
+
+    Multi-host discipline (reference ``is_master()`` gating,
+    imaginaire/utils/distributed.py): exactly one process writes logs,
+    checkpoints and TensorBoard events; the others compute. Single-host
+    (process_count == 1) is always main.
+    """
+    return jax.process_index() == 0
+
+
 def get_mesh(strategy: str = "rays", devices=None) -> Optional[Mesh]:
     """Build a 1-D mesh over all devices (or None to disable sharding)."""
     if strategy in (None, "none", False):

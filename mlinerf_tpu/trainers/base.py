@@ -61,12 +61,18 @@ class MetricsLogger:
     """
 
     def __init__(self, logdir: str, use_wandb: bool = False, wandb_name: str = None,
-                 use_tensorboard: bool = False):
+                 use_tensorboard: bool = False, enabled: bool = True):
+        # ``enabled=False`` (non-main processes on multi-host runs) keeps the
+        # object API-complete but writes nothing — the reference's
+        # is_master() gating (imaginaire/utils/distributed.py).
+        self.enabled = enabled
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, "metrics.jsonl")
         self.wandb = None
         self.tb = None
+        use_wandb = use_wandb and enabled
+        use_tensorboard = use_tensorboard and enabled
         if use_wandb:
             try:
                 import wandb
@@ -97,6 +103,8 @@ class MetricsLogger:
         return run_id
 
     def log_scalars(self, scalars: Dict[str, float], step: int):
+        if not self.enabled:
+            return
         rec = {"step": int(step), **{k: float(v) for k, v in scalars.items()}}
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -108,6 +116,8 @@ class MetricsLogger:
             self.tb.flush()
 
     def log_images(self, images: Dict[str, np.ndarray], step: int):
+        if not self.enabled:
+            return
         img_dir = os.path.join(self.logdir, "images", f"{step:09d}")
         os.makedirs(img_dir, exist_ok=True)
         from mlinerf_tpu.utils.image_io import save_image
@@ -246,10 +256,14 @@ class BaseTrainer:
         # Bookkeeping ---------------------------------------------------------
         self.current_iteration = 0
         self.current_epoch = 0
-        self.checkpointer = Checkpointer(cfg, self.logdir)
+        # Multi-host: only process 0 writes logs/checkpoints (reference
+        # is_master() gating); other processes keep API-complete no-op sinks.
+        is_main = pmesh.is_main_process()
+        self.checkpointer = Checkpointer(cfg, self.logdir, enabled=is_main)
         self.logger = MetricsLogger(self.logdir, use_wandb=cfg.get("wandb", False),
                                     wandb_name=cfg.get("wandb_name"),
-                                    use_tensorboard=cfg.get("tensorboard", False))
+                                    use_tensorboard=cfg.get("tensorboard", False),
+                                    enabled=is_main)
         self.watchdog = Watchdog(cfg.timeout_period)
         self.timer = PhaseTimer()
         self.losses_host: Dict[str, float] = {}

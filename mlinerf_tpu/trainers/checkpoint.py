@@ -49,7 +49,11 @@ def _set_path(d, path, value):
 class Checkpointer:
     """Saves/loads training state dicts (pure pytrees of numpy arrays)."""
 
-    def __init__(self, cfg, logdir: str):
+    def __init__(self, cfg, logdir: str, enabled: bool = True):
+        # ``enabled=False`` (non-main processes on multi-host runs): saves
+        # become no-ops, loads still work on every process — the reference's
+        # is_master()-gated save / all-rank load split.
+        self.enabled = enabled
         self.cfg = cfg
         self.logdir = logdir
         self.save_iter = cfg.checkpoint.save_iter
@@ -74,6 +78,8 @@ class Checkpointer:
 
     def save(self, state: Dict[str, Any], epoch: int, iteration: int, latest: bool = False):
         """Snapshot state to disk on a background thread."""
+        if not self.enabled:
+            return
         state_host = jax.device_get(state)
         name = "latest_checkpoint.pkl" if latest else self._checkpoint_name(epoch, iteration)
         payload = dict(state=state_host, epoch=epoch, iteration=iteration)

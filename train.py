@@ -41,9 +41,16 @@ def main():
     if args.single_gpu:
         cfg.setdefault("runtime", {})
         cfg.runtime.mesh = "none"
+    # Multi-host (DCN) bring-up must precede every other jax call; after it
+    # the mesh/sharding code is unchanged (reference init_dist counterpart,
+    # imaginaire/utils/distributed.py:21-27). No-op unless runtime.multihost.
+    from mlinerf_tpu.parallel import mesh as pmesh
+
+    pmesh.init_multihost(cfg)
     logdir = args.logdir or os.path.join("logs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(logdir, exist_ok=True)
-    cfg.save_config(logdir)
+    if pmesh.is_main_process():
+        cfg.save_config(logdir)
 
     Dataset = resolve("dataset", cfg.data.type)
     train_dataset = Dataset(cfg)
