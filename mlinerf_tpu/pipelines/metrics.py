@@ -101,6 +101,31 @@ def lpips_weights_path() -> Optional[str]:
     return None
 
 
+_LPIPS_WARNED = False
+
+
+def _warn_lpips_missing() -> None:
+    """One unmissable per-process warning when LPIPS is requested but the
+    AlexNet weights are absent (the reference ALWAYS scores LPIPS —
+    compute_metrics.py:15). A silent per-image None made a metrics run look
+    complete when it wasn't (round-2 verdict item)."""
+    global _LPIPS_WARNED
+    if _LPIPS_WARNED:
+        return
+    _LPIPS_WARNED = True
+    import sys
+
+    sys.stderr.write(
+        "\n[metrics] WARNING: LPIPS weights not found — LPIPS will be MISSING "
+        "from this run's results.\n"
+        "[metrics]   Export them on any torch+lpips host with\n"
+        "[metrics]     python scripts/export_lpips_weights.py --out assets/lpips_alex.npz\n"
+        "[metrics]   then copy assets/lpips_alex.npz here (or set LPIPS_WEIGHTS=/path/to.npz).\n"
+        "[metrics]   (This host has torch but not torchvision/lpips and no network, so the\n"
+        "[metrics]   export cannot run locally.)\n\n"
+    )
+
+
 def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
     """LPIPS(AlexNet) on [H,W,3] images in [0,1]; None if weights missing.
 
@@ -110,6 +135,7 @@ def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
     """
     path = lpips_weights_path()
     if path is None:
+        _warn_lpips_missing()
         return None
     import jax
     import jax.numpy as jnp

@@ -36,11 +36,18 @@ def test_ssim_luminance_shift_closed_form():
     assert abs(M.ssim(a, b) - expect) < 1e-6
 
 
-def test_lpips_none_without_weights(monkeypatch):
+def test_lpips_none_without_weights(monkeypatch, capsys):
     monkeypatch.setenv("LPIPS_WEIGHTS", "/nonexistent")
     # also ensure the fallback asset path isn't present in CI
     if M.lpips_weights_path() is None:
+        monkeypatch.setattr(M, "_LPIPS_WARNED", False)
         assert M.lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3))) is None
+        # Missing weights must be LOUD — one unmissable stderr warning naming
+        # the export script (round-2 verdict item 5), printed once per process.
+        err = capsys.readouterr().err
+        assert "LPIPS" in err and "export_lpips_weights.py" in err
+        assert M.lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3))) is None
+        assert "export_lpips_weights.py" not in capsys.readouterr().err
 
 
 def test_calculate_metrics_alpha_gamma():
