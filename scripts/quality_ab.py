@@ -682,6 +682,15 @@ def main():
             cs.floor = 0.125
             cs.mode = "cotangent"
 
+        def composed_cstop1(cfg):
+            # The Rao-Blackwellized draw (exact argmax row + 1 sampled
+            # residual row, 2 rows/point) — the round-3 flip candidate.
+            composed(cfg)
+            cs = cfg.model.object.sdf.gradient.corner_sample
+            cs.enabled = True
+            cs.floor = 0.125
+            cs.mode = "top1cot"
+
         def composed_f4(cfg):
             # Equal-BYTES F-halving at production shape (fhalf toy result:
             # F4 at 2x rows beats F8 by +0.41 dB at equal table bytes —
@@ -697,6 +706,7 @@ def main():
             ("B: budget c32h2 exact", budget),
             ("C: composed (shipped default)", composed),
             ("D: composed+cscot", composed_cscot),
+            ("D2: composed+cstop1", composed_cstop1),
             ("E: composed dict20F4 (equal-bytes)", composed_f4),
         ]
     elif study == "occ":

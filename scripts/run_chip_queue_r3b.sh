@@ -1,5 +1,10 @@
 #!/bin/bash
-# Round-3 queue b — the PRODUCTION-SHAPED quality study (verdict item 2).
+# Round-3 queue b — SUPERSEDED before it ran: the top1cot draw (queue r3c)
+# jumped the priority queue once the cotangent gates came in borderline
+# (-0.61/-0.32 dB), so the prodscale chain moved to run_chip_queue_r3d.sh
+# (seed 0, with the D2 top1cot arm + E equal-bytes F4 arm) and
+# run_chip_queue_r3e.sh (seed 1 + slev gate), driven by
+# run_chip_queue_r3_master.sh. Kept for the audit trail.
 #
 # AB_STUDY=prodscale: real L16F8 dict19 model / 256-wide MLPs / bf16 tables
 # (syn_prodscale_a.yaml) on the 256x256 cluttered scene, 1024 rays x 3000

@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-3 queue e — time-permitting extras after the flip gates (r3c) and
+# the seed-0 prodscale chain (r3d):
+#   1. seed-1 prodscale B/C/D2 (B doubles as the in-cell control for the
+#      C/D2 deltas; A@seed1 is priced out of the chip budget);
+#   2. the slev16 gate (sampling-PDF level truncation, +8.4% at the cs17
+#      point — placement-only knob, in-cell control);
+#   3. fresh-process replication of the winning bench config.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/ab_logs /tmp/bench_logs
+
+ab() {
+  local log="/tmp/ab_logs/$1"; shift
+  if [ -s "$log" ] && grep -q "PSNR" "$log" && grep -q DONE "$log"; then
+    echo "skip $log"; return
+  fi
+  echo "=== $log ($(date +%H:%M:%S)) ==="
+  env "$@" timeout 14000 python scripts/quality_ab.py > "$log" 2>&1
+  tail -n 12 "$log"
+}
+
+ab r3_prodscale_B_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="B:"
+ab r3_prodscale_C_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="C:"
+ab r3_prodscale_D2_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="D2:"
+
+# slev gate: in-cell A control + slev=6 + slev=4 under c16 composed+cscot.
+ab r3_slev16_s0.log AB_STUDY=slev16 AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere
+
+echo "QUEUE_R3E DONE $(date +%H:%M:%S)"
