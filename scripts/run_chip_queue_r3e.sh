@@ -27,4 +27,14 @@ ab r3_prodscale_D2_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS
 # slev gate: in-cell A control + slev=6 + slev=4 under c16 composed+cscot.
 ab r3_slev16_s0.log AB_STUDY=slev16 AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere
 
+# In-window per-op attribution at the flip candidate's operating point
+# (verdict item 3): what is the post-scatter remainder made of?
+if [ ! -s /tmp/bench_logs/r3_profile_cstop1.log ]; then
+  echo "=== profile cstop1 ($(date +%H:%M:%S)) ==="
+  env BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot PROFILE_SPD=16 \
+    PROFILE_STEPS=2 timeout 3000 python scripts/profile_step.py \
+    > /tmp/bench_logs/r3_profile_cstop1.log 2>&1
+  tail -20 /tmp/bench_logs/r3_profile_cstop1.log
+fi
+
 echo "QUEUE_R3E DONE $(date +%H:%M:%S)"
