@@ -223,6 +223,9 @@ def build_bench_cfg():
     cmode = os.environ.get("BENCH_CORNER_MODE")
     if cmode:
         cfg.model.object.sdf.gradient.corner_sample.mode = cmode
+    cxf = os.environ.get("BENCH_CORNER_EXACT_FINEST")
+    if cxf:
+        cfg.model.object.sdf.gradient.corner_sample.exact_finest = int(cxf)
     topk = os.environ.get("BENCH_TOPK")
     if topk:
         sub = cfg.model.object.sdf.gradient.subsample

@@ -92,18 +92,20 @@ class NeuralSDF(nn.Module):
         grad_cfg = self.cfg_sdf.get("gradient", {}) or {}
         cs = grad_cfg.get("corner_sample", {}) or {}
         return (float(cs.get("floor", 0.125)), int(cs.get("corners", 1)),
-                str(cs.get("mode", "cotangent")))
+                str(cs.get("mode", "cotangent")),
+                int(cs.get("exact_finest", 0)))
 
     def encode(self, points_3D, level_mask=None, max_levels=None, corner_key=None):
         cfg_enc = self.cfg_sdf.encoding
         if cfg_enc.type == "hashgrid":
-            floor, k, mode = self._corner_opts()
+            floor, k, mode, exact_finest = self._corner_opts()
             feats = hashgrid.encode(self.table, points_3D, self.spec,
                                     level_mask=level_mask, max_levels=max_levels,
                                     pallas_backward=self._pallas_backward(),
                                     corner_key=corner_key,
                                     corner_floor=floor, corner_k=k,
-                                    corner_mode=mode)
+                                    corner_mode=mode,
+                                    corner_exact_finest=exact_finest)
         else:
             feats = enc.positional_encoding(points_3D, cfg_enc.levels)
             if level_mask is not None:
@@ -141,13 +143,13 @@ class NeuralSDF(nn.Module):
         cfg_enc = self.cfg_sdf.encoding
         if cfg_enc.type != "hashgrid":
             raise NotImplementedError("stencil sharing requires the hashgrid encoder")
-        floor, k, mode = self._corner_opts()
+        floor, k, mode, exact_finest = self._corner_opts()
         feats = hashgrid.encode_stencil(
             self.table, points_3D, offsets, self.spec, level_mask=level_mask,
             shared_levels=shared_levels, max_levels=max_levels,
             pallas_backward=self._pallas_backward(),
             corner_key=corner_key, corner_floor=floor, corner_k=k,
-            corner_mode=mode,
+            corner_mode=mode, corner_exact_finest=exact_finest,
         )  # [..., 1+T, L*F]
         offs_all = jnp.concatenate(
             [jnp.zeros((1, 3), jnp.float32), offsets.astype(jnp.float32)], axis=0

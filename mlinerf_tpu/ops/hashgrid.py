@@ -298,12 +298,17 @@ def _row_take_fn(pallas_backward: bool):
 
 def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
            pallas_backward: bool = False, corner_key=None, corner_floor: float = 0.125,
-           corner_k: int = 1, corner_mode: str = "cotangent"):
+           corner_k: int = 1, corner_mode: str = "cotangent",
+           corner_exact_finest: int = 0):
     """Encode 3D points into concatenated per-level features.
 
     ``corner_key`` (optional uint32 PRNG key): route the backward through the
     corner-SAMPLED table scatter (one row per point/level instead of 8 — see
     :func:`corner_sampled_combine`). Forward values are identical.
+    ``corner_exact_finest``: keep the EXACT 8-corner scatter on the globally
+    finest N levels (where estimator noise hurts detail most) and sample only
+    the coarser ones — a static quality/speed dial between full csamp and
+    exact (rows: (L-N)*k + N*8 per point).
 
     TPU layout note: a single batched gather over all (level, corner) pairs
     materializes a [P, L, 8, F] tensor whose trailing (8, F=8) dims tile-pad
@@ -379,7 +384,7 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
                 ^ iz * np.uint32(_PRIMES[2])
             ) % np.uint32(table_sizes[lv])
         idx = idx.astype(jnp.int32)  # [8,P]
-        if corner_key is not None:
+        if corner_key is not None and lv < spec.num_levels - corner_exact_finest:
             out_l = corner_sampled_combine(
                 table[lv], idx, weights[None], jax.random.fold_in(corner_key, lv),
                 floor=corner_floor, k_samples=corner_k, mode=corner_mode,
@@ -401,7 +406,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                    shared_levels: int = 0, max_levels=None,
                    pallas_backward: bool = False, corner_key=None,
                    corner_floor: float = 0.125, corner_k: int = 1,
-                   corner_mode: str = "cotangent"):
+                   corner_mode: str = "cotangent", corner_exact_finest: int = 0):
     """Encode a stencil of points (center + taps) with shared corner gathers.
 
     The numerical-gradient path (reference
@@ -510,7 +515,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 wy = jnp.where(dys == 1, fey, 1.0 - fey)
                 wz = jnp.where(dzs == 1, fez, 1.0 - fez)
                 w_evals.append(wx * wy * wz)
-            if corner_key is not None:
+            if corner_key is not None and lv < spec.num_levels - corner_exact_finest:
                 out_le = corner_sampled_combine(
                     table[lv], idx, jnp.stack(w_evals, axis=0),
                     jax.random.fold_in(corner_key, lv), floor=corner_floor,
@@ -548,7 +553,7 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 wy = jnp.where(dys == 1, fey, 1.0 - fey)
                 wz = jnp.where(dzs == 1, fez, 1.0 - fez)
                 weights = wx * wy * wz
-                if corner_key is not None:
+                if corner_key is not None and lv < spec.num_levels - corner_exact_finest:
                     out_l = corner_sampled_combine(
                         table[lv], idx, weights[None],
                         jax.random.fold_in(corner_key, lv * (E + 1) + e + 1),

@@ -518,7 +518,7 @@ def main():
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
             cfg.model.object.sdf.gradient.hessian.fraction = 0.25
 
-        def c16_csamp(mode="center", corners=1):
+        def c16_csamp(mode="center", corners=1, exact_finest=0):
             def f(cfg):
                 c16_base(cfg)
                 cs = cfg.model.object.sdf.gradient.corner_sample
@@ -526,6 +526,7 @@ def main():
                 cs.floor = 0.125
                 cs.mode = mode
                 cs.corners = corners
+                cs.exact_finest = exact_finest
             return f
 
         # NOTE (round 3): the original "c16 csamp"/"csamp floor=" variants
@@ -549,6 +550,9 @@ def main():
             # Rao-Blackwellized: exact argmax-norm row + 1 sampled residual
             # row (2 rows/point, variance well below k2cot's 2 iid draws).
             ("c16 csamp-top1", c16_csamp(mode="top1cot")),
+            # Fallback dial: exact scatter on the 2 finest levels, top1cot on
+            # the rest (rows/point: 14*2 + 2*8 = 44 vs 32 full-top1, 128 exact).
+            ("c16 csamp-top1xf2", c16_csamp(mode="top1cot", exact_finest=2)),
         ]
     elif study == "fhalf":
         # Equal-BYTES feature-width question at the ultra-small-table tier:

@@ -138,6 +138,28 @@ def test_single_sample_rows():
     assert touched <= idx.shape[1]
 
 
+def test_exact_finest_levels_get_exact_gradients():
+    """With corner_exact_finest=N, the finest N levels' table gradients match
+    the exact path bitwise (no sampling), while coarser levels still sample."""
+    spec = hashgrid.HashGridSpec(num_levels=3, features_per_level=2,
+                                 log2_hashmap_size=8, min_logres=2, max_logres=4)
+    table = tuple(t.astype(jnp.float32)
+                  for t in hashgrid.init_params(jax.random.PRNGKey(0), spec))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (29, 3), minval=-1.0, maxval=1.0)
+
+    def loss(t, **kw):
+        return jnp.sum(hashgrid.encode(t, pts, spec, **kw) ** 2)
+
+    g_exact = jax.grad(loss)(table)
+    g_mixed = jax.grad(loss)(
+        table, corner_key=jax.random.PRNGKey(3), corner_mode="top1cot",
+        corner_exact_finest=1)
+    # Finest level: bitwise exact.
+    np.testing.assert_array_equal(np.asarray(g_mixed[-1]), np.asarray(g_exact[-1]))
+    # Coarser levels: sampled (different from exact with overwhelming prob.).
+    assert not np.array_equal(np.asarray(g_mixed[0]), np.asarray(g_exact[0]))
+
+
 def test_encode_forward_identical_and_grad_runs():
     spec = hashgrid.HashGridSpec(num_levels=3, features_per_level=2,
                                  log2_hashmap_size=8, min_logres=2, max_logres=4)
