@@ -23,6 +23,26 @@ ab() {
   tail -n 12 "$log"
 }
 
+probe() {
+  local log="/tmp/bench_logs/$1"; shift
+  if [ -s "$log" ] && grep -q rays_per_sec "$log"; then
+    echo "skip $log"; return
+  fi
+  echo "=== $log ($(date +%H:%M:%S)) ==="
+  env "$@" timeout 2400 python bench.py > "$log" 2>"${log%.log}.err"
+  tail -1 "$log"
+}
+mkdir -p /tmp/bench_logs
+
+# F4 narrow-feature speed probes at the top1cot point (forward is
+# gather-ROW-latency-bound — see PERF.md remainder analysis; F4 halves
+# row bytes so dict20 keeps F8-dict19's table bytes at 2x capacity rows,
+# dict18 mirrors F8-dict17's bytes). Quality: prodscale E arm + toy fhalf.
+probe r3_cstop1_f4d20.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
+  BENCH_DIM=4 BENCH_DICT_SIZE=20
+probe r3_cstop1_f4d18.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
+  BENCH_DIM=4 BENCH_DICT_SIZE=18
+
 # Most expensive first (fail fast on worker faults).
 ab r3_prodscale_A_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="A:"
 ab r3_prodscale_B_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="B:"
