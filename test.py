@@ -38,6 +38,14 @@ def main():
             args.checkpoint = os.path.join(base_logdir, f.read().strip())
 
     cfg = Config(args.config, cli_args=cfg_cmd)
+    # Multi-host runs: bring up DCN for mesh parity with train.py, but the
+    # chunked renderer is single-controller — non-main processes exit rather
+    # than redundantly render and race on the same output files.
+    from mlinerf_tpu.parallel import mesh as pmesh
+
+    pmesh.init_multihost(cfg)
+    if not pmesh.is_main_process():
+        return
     # Inference never loads pseudo labels or re-warm-starts (reference
     # test.py:90-101).
     if cfg.model.get("use_pre_trained"):
