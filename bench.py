@@ -114,7 +114,8 @@ def build_bench_cfg():
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
     e = cfg.model.object.sdf.encoding
     if named in ("budget", "lvl12", "composed", "composed12", "composed12f8",
-                 "composed12topk", "composedcs", "composedcs17"):
+                 "composed12topk", "composedcs", "composedcs17",
+                 "composedcstop1", "composedcstop1f4"):
         e.hashgrid.dict_size = 17 if named == "composedcs17" else 19
         cfg.model.render.num_samples.coarse = 32
         cfg.model.render.num_sample_hierarchy = 2
@@ -125,10 +126,21 @@ def build_bench_cfg():
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
             cfg.model.object.sdf.gradient.hessian.fraction = (
                 0.125 if named in ("composed12f8", "composed12topk") else 0.25)
-        if named in ("composedcs", "composedcs17"):
+        if named.startswith("composedcs"):
             # Corner-sampled backward table scatter on the L16 composed
-            # shape (ops/hashgrid.corner_sampled_combine; gates r2m/r2n).
+            # shape (ops/hashgrid.corner_sampled_combine; gates r2m/r2n,
+            # r3a, r3c).
             cfg.model.object.sdf.gradient.corner_sample.enabled = True
+        if named.startswith("composedcstop1"):
+            # Rao-Blackwellized draw (round 3): exact argmax row + one
+            # sampled residual row.
+            cfg.model.object.sdf.gradient.corner_sample.mode = "top1cot"
+        if named == "composedcstop1f4":
+            # Narrow-feature restructure at equal table bytes to
+            # composedcs17 (F4 dict18 = F8 dict17 bytes; fhalf + prodscale
+            # E-arm gates).
+            e.hashgrid.dim = 4
+            e.hashgrid.dict_size = 18
         if named == "composed12topk":
             cfg.model.object.sdf.gradient.subsample.enabled = True
             cfg.model.object.sdf.gradient.subsample.topk = 16
