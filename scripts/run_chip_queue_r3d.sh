@@ -42,6 +42,11 @@ probe r3_cstop1_f4d20.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
   BENCH_DIM=4 BENCH_DICT_SIZE=20
 probe r3_cstop1_f4d18.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
   BENCH_DIM=4 BENCH_DICT_SIZE=18
+# ... and with the EXACT scatter (no estimator noise): if the scatter tier
+# is BYTES-driven, F4 halves per-level bytes at fixed rows — a default-flip
+# path that needs no csamp quality concession.
+probe r3_comp_f4d19.log BENCH_CONFIG=composed BENCH_DIM=4 BENCH_DICT_SIZE=19
+probe r3_comp_f4d18.log BENCH_CONFIG=composed BENCH_DIM=4 BENCH_DICT_SIZE=18
 
 # Most expensive first (fail fast on worker faults).
 ab r3_prodscale_A_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="A:"
