@@ -238,6 +238,9 @@ def build_bench_cfg():
     cxf = os.environ.get("BENCH_CORNER_EXACT_FINEST")
     if cxf:
         cfg.model.object.sdf.gradient.corner_sample.exact_finest = int(cxf)
+    tls = os.environ.get("BENCH_TABLE_LR_SCALE")
+    if tls:
+        cfg.optim.lr_scales = {"hash_table": float(tls)}
     topk = os.environ.get("BENCH_TOPK")
     if topk:
         sub = cfg.model.object.sdf.gradient.subsample

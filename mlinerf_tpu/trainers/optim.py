@@ -77,6 +77,20 @@ def make_optimizer(cfg_optim, max_iter: int = None,
         tx = optax.radam(lr_schedule, **kwargs)
     else:
         raise NotImplementedError(f"Unknown optimizer {cfg_optim.type}")
+    # Per-group LR multipliers (``optim.lr_scales: {<path keyword>: s}``) —
+    # the param-group capability of the reference's optimizer factory
+    # (imaginaire/utils/trainer.py param_groups), expressed as masked update
+    # scaling. Motivating use: the corner-sampled table scatter inflates
+    # Adam's second moment by the estimator variance (~1/q per coordinate),
+    # which silently SHRINKS the effective table LR by its square root —
+    # ``lr_scales: {hash_table: ~sqrt(row_cut)}`` compensates (PERF.md
+    # round-3 csamp analysis; gated by AB_STUDY=csamp lrx arms).
+    lr_scales = dict(cfg_optim.get("lr_scales", {}) or {})
+    for kw, scale in lr_scales.items():
+        def mask_fn(params, kw=kw):
+            return trainable_mask(params, [kw])
+
+        tx = optax.chain(tx, optax.masked(optax.scale(float(scale)), mask_fn))
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
 

@@ -518,7 +518,7 @@ def main():
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
             cfg.model.object.sdf.gradient.hessian.fraction = 0.25
 
-        def c16_csamp(mode="center", corners=1, exact_finest=0):
+        def c16_csamp(mode="center", corners=1, exact_finest=0, lr_scale=None):
             def f(cfg):
                 c16_base(cfg)
                 cs = cfg.model.object.sdf.gradient.corner_sample
@@ -527,6 +527,13 @@ def main():
                 cs.mode = mode
                 cs.corners = corners
                 cs.exact_finest = exact_finest
+                if lr_scale is not None:
+                    # Compensate Adam's v-hat inflation under the sampled
+                    # scatter (~1/q per coordinate -> effective table LR
+                    # shrinks by its sqrt). Mechanism evidence: exact_finest=2
+                    # changed NOTHING (23.61 vs 23.62 at s0) — the gap is
+                    # uniform across levels, as the v-hat theory predicts.
+                    cfg.optim.lr_scales = {"hash_table": lr_scale}
             return f
 
         # NOTE (round 3): the original "c16 csamp"/"csamp floor=" variants
@@ -553,6 +560,9 @@ def main():
             # Fallback dial: exact scatter on the 2 finest levels, top1cot on
             # the rest (rows/point: 14*2 + 2*8 = 44 vs 32 full-top1, 128 exact).
             ("c16 csamp-top1xf2", c16_csamp(mode="top1cot", exact_finest=2)),
+            # Adam v-hat compensation arms (lr_scales on the tables only).
+            ("c16 csamp-top1-lr2", c16_csamp(mode="top1cot", lr_scale=2.0)),
+            ("c16 csamp-top1-lr3", c16_csamp(mode="top1cot", lr_scale=2.83)),
         ]
     elif study == "fhalf":
         # Equal-BYTES feature-width question at the ultra-small-table tier:

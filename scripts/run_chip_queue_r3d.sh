@@ -34,6 +34,15 @@ probe() {
 }
 mkdir -p /tmp/bench_logs
 
+# Adam v-hat compensation gate (flip-decisive): the sampled scatter
+# inflates Adam's second moment (~1/q per coordinate), shrinking the
+# effective table LR by sqrt — evidence: exact_finest=2 changed nothing
+# (23.61/23.62 at s0), i.e. the top1cot gap is level-uniform. lr2/lr3 arms
+# scale the table LR 2.0/2.83x; candidate-only vs TODAY's in-cell s0
+# control (c16 composed = 24.04, r3_cstop1_s0.log).
+ab r3_cstop1_lrx_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere \
+   AB_VARIANTS="c16 csamp-top1-lr2,c16 csamp-top1-lr3"
+
 # F4 narrow-feature speed probes at the top1cot point (forward is
 # gather-ROW-latency-bound — see PERF.md remainder analysis; F4 halves
 # row bytes so dict20 keeps F8-dict19's table bytes at 2x capacity rows,

@@ -49,6 +49,29 @@ def test_multisteps_equals_big_batch_update():
     np.testing.assert_allclose(np.asarray(u2["w"]), np.asarray(u_ref["w"]), rtol=1e-6)
 
 
+def test_lr_scales_scale_only_matching_groups():
+    """optim.lr_scales multiplies updates for params whose path matches the
+    keyword, leaving other groups untouched (param-group LR capability;
+    csamp's Adam second-moment compensation rides this)."""
+    cfg = _optim_cfg()
+    cfg.lr_scales = {"hash_table": 2.0}
+    params = {"hash_table": jnp.arange(4.0), "mlp": jnp.arange(4.0)}
+    grads = {"hash_table": jnp.asarray([1.0, -2.0, 0.5, 3.0]),
+             "mlp": jnp.asarray([1.0, -2.0, 0.5, 3.0])}
+
+    tx, _ = optim_lib.make_optimizer(cfg, max_iter=100)
+    st = tx.init(params)
+    u, _ = tx.update(grads, st, params)
+
+    tx0, _ = optim_lib.make_optimizer(_optim_cfg(), max_iter=100)
+    u0, _ = tx0.update(grads, tx0.init(params), params)
+
+    np.testing.assert_allclose(np.asarray(u["hash_table"]),
+                               2.0 * np.asarray(u0["hash_table"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u["mlp"]), np.asarray(u0["mlp"]),
+                               rtol=1e-6)
+
+
 def test_grad_accum_defers_param_updates(tmp_path):
     """With grad_accum_iter=2, params only move every second train step."""
     cfg = tiny_nerf_cfg(tmp_path, max_iter=4)
