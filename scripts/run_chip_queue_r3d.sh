@@ -57,6 +57,13 @@ probe r3_cstop1_f4d18.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
 probe r3_comp_f4d19.log BENCH_CONFIG=composed BENCH_DIM=4 BENCH_DICT_SIZE=19
 probe r3_comp_f4d18.log BENCH_CONFIG=composed BENCH_DIM=4 BENCH_DICT_SIZE=18
 
+# Remainder attribution at the d19 top1cot point: how much is the exact-tap
+# hessian subset (halve f), and what is the zero-table-grad ceiling?
+probe r3_cstop1_hf8.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
+  BENCH_HESS_FRACTION=0.125
+probe r3_cstop1_ft.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
+  BENCH_FREEZE=tables
+
 # Most expensive first (fail fast on worker faults).
 ab r3_prodscale_A_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="A:"
 ab r3_prodscale_B_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="B:"
