@@ -1,11 +1,13 @@
 #!/bin/bash
-# Round-3 queue e — time-permitting extras after the flip gates (r3c) and
-# the seed-0 prodscale chain (r3d):
-#   1. seed-1 prodscale B/C/D2 (B doubles as the in-cell control for the
+# Round-3 queue e — time-permitting extras after the flip gates (r3c/r3d
+# lrx) and the seed-0 prodscale chain (r3d). Ordered by value-per-chip-hour
+# since this queue starts late in the session:
+#   1. in-window per-op attribution at the flip candidate's operating point
+#      (verdict item 3 — feeds the speed-of-light analysis);
+#   2. seed-1 prodscale B/C/D2 (B doubles as the in-cell control for the
 #      C/D2 deltas; A@seed1 is priced out of the chip budget);
-#   2. the slev16 gate (sampling-PDF level truncation, +8.4% at the cs17
-#      point — placement-only knob, in-cell control);
-#   3. fresh-process replication of the winning bench config.
+#   3. the slev16 gate (sampling-PDF level truncation, +8.4% at the cs17
+#      point — placement-only knob, in-cell control).
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/ab_logs /tmp/bench_logs
@@ -20,15 +22,8 @@ ab() {
   tail -n 12 "$log"
 }
 
-ab r3_prodscale_B_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="B:"
-ab r3_prodscale_C_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="C:"
-ab r3_prodscale_D2_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="D2:"
-
-# slev gate: in-cell A control + slev=6 + slev=4 under c16 composed+cscot.
-ab r3_slev16_s0.log AB_STUDY=slev16 AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere
-
-# In-window per-op attribution at the flip candidate's operating point
-# (verdict item 3): what is the post-scatter remainder made of?
+# 1. In-window per-op trace (scanned 16-step window; single-step profiles of
+#    this workload are not representative — see verify notes).
 if [ ! -s /tmp/bench_logs/r3_profile_cstop1.log ]; then
   echo "=== profile cstop1 ($(date +%H:%M:%S)) ==="
   env BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot PROFILE_SPD=16 \
@@ -36,5 +31,13 @@ if [ ! -s /tmp/bench_logs/r3_profile_cstop1.log ]; then
     > /tmp/bench_logs/r3_profile_cstop1.log 2>&1
   tail -20 /tmp/bench_logs/r3_profile_cstop1.log
 fi
+
+# 2. Seed-1 prodscale arms.
+ab r3_prodscale_B_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="B:"
+ab r3_prodscale_C_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="C:"
+ab r3_prodscale_D2_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="D2:"
+
+# 3. slev gate: in-cell A control + slev=6 + slev=4 under c16 composed+cscot.
+ab r3_slev16_s0.log AB_STUDY=slev16 AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere
 
 echo "QUEUE_R3E DONE $(date +%H:%M:%S)"
