@@ -10,6 +10,20 @@
 # D2 uses the top1cot draw (the round-3 flip candidate; queue r3c gates it
 # on the toy cells). Seed-1 arms live in queue r3e.
 set -u
+
+# Hard wall-clock deadline (epoch s): the driver benches the default config
+# on the chip at round end — no queue cell may still hold the TPU client
+# then. Cells are skipped once past the deadline, and in-flight timeouts
+# are capped so children die before it.
+DEADLINE=1787185200
+cell_timeout() {  # cell_timeout MAX -> min(MAX, time-to-deadline+300)
+  local now rem
+  now=$(date +%s)
+  rem=$((DEADLINE - now + 300))
+  if [ "$rem" -gt "$1" ]; then rem=$1; fi
+  echo "$rem"
+}
+past_deadline() { [ "$(date +%s)" -ge "$DEADLINE" ]; }
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/ab_logs
 
@@ -18,8 +32,9 @@ ab() {
   if [ -s "$log" ] && grep -q "PSNR" "$log" && grep -q DONE "$log"; then
     echo "skip $log"; return
   fi
+  if past_deadline; then echo "deadline: skip $log"; return; fi
   echo "=== $log ($(date +%H:%M:%S)) ==="
-  env "$@" timeout 14000 python scripts/quality_ab.py > "$log" 2>&1
+  env "$@" timeout "$(cell_timeout 14000)" python scripts/quality_ab.py > "$log" 2>&1
   tail -n 12 "$log"
 }
 
@@ -28,8 +43,9 @@ probe() {
   if [ -s "$log" ] && grep -q rays_per_sec "$log"; then
     echo "skip $log"; return
   fi
+  if past_deadline; then echo "deadline: skip $log"; return; fi
   echo "=== $log ($(date +%H:%M:%S)) ==="
-  env "$@" timeout 2400 python bench.py > "$log" 2>"${log%.log}.err"
+  env "$@" timeout "$(cell_timeout 2400)" python bench.py > "$log" 2>"${log%.log}.err"
   tail -1 "$log"
 }
 mkdir -p /tmp/bench_logs

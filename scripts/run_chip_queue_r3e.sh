@@ -9,6 +9,20 @@
 #   3. the slev16 gate (sampling-PDF level truncation, +8.4% at the cs17
 #      point — placement-only knob, in-cell control).
 set -u
+
+# Hard wall-clock deadline (epoch s): the driver benches the default config
+# on the chip at round end — no queue cell may still hold the TPU client
+# then. Cells are skipped once past the deadline, and in-flight timeouts
+# are capped so children die before it.
+DEADLINE=1787185200
+cell_timeout() {  # cell_timeout MAX -> min(MAX, time-to-deadline+300)
+  local now rem
+  now=$(date +%s)
+  rem=$((DEADLINE - now + 300))
+  if [ "$rem" -gt "$1" ]; then rem=$1; fi
+  echo "$rem"
+}
+past_deadline() { [ "$(date +%s)" -ge "$DEADLINE" ]; }
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/ab_logs /tmp/bench_logs
 
@@ -17,8 +31,9 @@ ab() {
   if [ -s "$log" ] && grep -q "PSNR" "$log" && grep -q DONE "$log"; then
     echo "skip $log"; return
   fi
+  if past_deadline; then echo "deadline: skip $log"; return; fi
   echo "=== $log ($(date +%H:%M:%S)) ==="
-  env "$@" timeout 14000 python scripts/quality_ab.py > "$log" 2>&1
+  env "$@" timeout "$(cell_timeout 14000)" python scripts/quality_ab.py > "$log" 2>&1
   tail -n 12 "$log"
 }
 
@@ -27,7 +42,7 @@ ab() {
 if [ ! -s /tmp/bench_logs/r3_profile_cstop1.log ]; then
   echo "=== profile cstop1 ($(date +%H:%M:%S)) ==="
   env BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot PROFILE_SPD=16 \
-    PROFILE_STEPS=2 timeout 3000 python scripts/profile_step.py \
+    PROFILE_STEPS=2 timeout "$(cell_timeout 3000)" python scripts/profile_step.py \
     > /tmp/bench_logs/r3_profile_cstop1.log 2>&1
   tail -20 /tmp/bench_logs/r3_profile_cstop1.log
 fi
@@ -36,6 +51,10 @@ fi
 ab r3_prodscale_B_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="B:"
 ab r3_prodscale_C_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="C:"
 ab r3_prodscale_D2_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="D2:"
+# E seed-1: the equal-bytes F4 arm is the quality-concession-free flip
+# fallback (exact scatter) — if the r3d F4 speed probes pan out, this is
+# the arm the flip decision needs at a second seed.
+ab r3_prodscale_E_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="E:"
 
 # 3. slev gate: in-cell A control + slev=6 + slev=4 under c16 composed+cscot.
 ab r3_slev16_s0.log AB_STUDY=slev16 AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere
