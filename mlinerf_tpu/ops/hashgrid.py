@@ -237,21 +237,29 @@ def _corner_sampled_combine_fn(floor: float, k_samples: int = 1,
         # at ~2^-24 per draw x billions of draws per run).
         c = jnp.sum((u[:, None, :] >= cdf[None, :-1, :]).astype(jnp.int32),
                     axis=1)  # [K,P]
-        idx_sel = jnp.take_along_axis(idx, c, axis=0)  # [K,P]
-        q_sel = jnp.maximum(jnp.take_along_axis(q, c, axis=0), 1e-9)  # [K,P]
+        # All corner selections below go through ONE-HOT multiply-adds, not
+        # take_along_axis: TAA over the 8-corner axis lowers to per-element
+        # gathers (static attribution measured +21M gather rows/step at the
+        # bench shape — comparable to the scatter rows the estimator saves),
+        # while the one-hot contraction is plain VPU work that XLA fuses.
+        onehot = (jnp.arange(8, dtype=c.dtype)[None, :, None]
+                  == c[:, None, :])  # [K,8,P] bool
+        oh_f = onehot.astype(jnp.float32)
+        idx_sel = jnp.sum(idx[None] * onehot.astype(idx.dtype), axis=1)  # [K,P]
+        q_sel = jnp.maximum(jnp.sum(q[None] * oh_f, axis=1), 1e-9)  # [K,P]
         if mode in ("cotangent", "top1cot"):
-            v_sel = jnp.take_along_axis(v, c[:, None, :], axis=0)  # [K,F,P]
-            val = jnp.transpose(v_sel, (1, 0, 2)) / (q_sel * k_samples)  # [F,K,P]
+            v_sel = jnp.einsum("kcp,cfp->fkp", oh_f, v)  # [F,K,P]
+            val = v_sel / (q_sel * k_samples)  # [F,K,P]
             if mode == "top1cot":
                 # Prepend the exact argmax-corner row (weight 1, no /q).
-                idx_sel = jnp.concatenate(
-                    [jnp.take_along_axis(idx, m[None], axis=0), idx_sel], axis=0)
-                v_m = jnp.take_along_axis(v, m[None, None, :], axis=0)  # [1,F,P]
-                val = jnp.concatenate(
-                    [jnp.transpose(v_m, (1, 0, 2)), val], axis=1)  # [F,1+K,P]
+                max_f = is_max.astype(jnp.float32)  # [8,P]
+                idx_max = jnp.sum(idx * is_max.astype(idx.dtype), axis=0)  # [P]
+                v_m = jnp.einsum("cp,cfp->fp", max_f, v)  # [F,P]
+                idx_sel = jnp.concatenate([idx_max[None], idx_sel], axis=0)
+                val = jnp.concatenate([v_m[:, None], val], axis=1)  # [F,1+K,P]
         else:
-            w_sel = jnp.take_along_axis(
-                weights_all[:, None], c[None, None], axis=2)[:, 0].astype(jnp.float32)  # [E,K,P]
+            w_sel = jnp.einsum("kcp,ecp->ekp", oh_f,
+                               weights_all.astype(jnp.float32))  # [E,K,P]
             val = jnp.einsum("efp,ekp->fkp", ct.astype(jnp.float32), w_sel)  # [F,K,P]
             val = val / (q_sel * k_samples)
         val = val.astype(table_lv.dtype)

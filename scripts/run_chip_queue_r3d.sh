@@ -59,6 +59,25 @@ mkdir -p /tmp/bench_logs
 ab r3_cstop1_lrx_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere \
    AB_VARIANTS="c16 csamp-top1-lr2,c16 csamp-top1-lr3"
 
+# Retry: the r3c cluttered cell died at startup with a transient TPU
+# FailedPrecondition worker fault (log kept the traceback, so the skip
+# check falls through and this re-runs it). The "c16 csamp-top1" selector
+# substring-matches all four top1 arms (top1, xf2, lr2, lr3) — the lrx
+# compensation arms are the live flip candidates; controls are the
+# same-day r2q cluttered s0 = 20.31.
+ab r3_cstop1_clut_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=cluttered \
+   AB_VARIANTS="c16 csamp-top1"
+
+# Re-probe top1cot speed after the one-hot selection rewrite (the r3c
+# numbers 2378.3/3881.5 were measured with take_along_axis corner
+# selections in the backward — static attribution showed those lower to
+# +21M gather rows/step; the rewrite removes them with VPU one-hot
+# contractions, math unchanged).
+probe r3_cstop1oh_d19.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
+  BENCH_TAG=onehot
+probe r3_cstop1oh_d17.log BENCH_CONFIG=composedcs17 BENCH_CORNER_MODE=top1cot \
+  BENCH_TAG=onehot
+
 # F4 narrow-feature speed probes at the top1cot point (forward is
 # gather-ROW-latency-bound — see PERF.md remainder analysis; F4 halves
 # row bytes so dict20 keeps F8-dict19's table bytes at 2x capacity rows,

@@ -37,6 +37,16 @@ inf() {
   tail -1 "$log"
 }
 
+# 0. Gather-rate tier sweep (completes the speed-of-light model: converts
+#    the static forward-gather row counts from scripts/attribute_rows.py
+#    to seconds, like the measured scatter tiers do for the backward).
+if ! past_deadline && [ ! -s /tmp/bench_logs/r3_gather_sweep.log ]; then
+  echo "=== gather sweep ($(date +%H:%M:%S)) ==="
+  timeout "$(cell_timeout 2400)" python -u scripts/bench_gather_sweep.py \
+    > /tmp/bench_logs/r3_gather_sweep.log 2>&1
+  tail -3 /tmp/bench_logs/r3_gather_sweep.log
+fi
+
 # 1. Window ladder (512x512 = 64 chunks of 4096; INF_WINDOW=64 is the fused
 #    whole image that historically faulted the worker — run it LAST so a
 #    wedged client can't block the earlier cells).
