@@ -705,6 +705,14 @@ def main():
             cs.floor = 0.125
             cs.mode = "top1cot"
 
+        def composed_cstop1_lr3(cfg):
+            # + Adam v-hat compensation (table LR x2.83 ~ sqrt(8)): the toy
+            # lrx arms recover plain top1cot's uniform ~-0.3 dB to -0.00
+            # (s1) / -0.02 (s3) — this is the ACTUAL flip configuration, so
+            # the production-shape evidence prices it, not plain top1cot.
+            composed_cstop1(cfg)
+            cfg.optim.lr_scales = {"hash_table": 2.83}
+
         def composed_f4(cfg):
             # Equal-BYTES F-halving at production shape (fhalf toy result:
             # F4 at 2x rows beats F8 by +0.41 dB at equal table bytes —
@@ -721,6 +729,7 @@ def main():
             ("C: composed (shipped default)", composed),
             ("D: composed+cscot", composed_cscot),
             ("D2: composed+cstop1", composed_cstop1),
+            ("D3: composed+cstop1-lr3", composed_cstop1_lr3),
             ("E: composed dict20F4 (equal-bytes)", composed_f4),
         ]
     elif study == "occ":

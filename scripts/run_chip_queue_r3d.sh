@@ -103,7 +103,7 @@ probe r3_cstop1_ft.log BENCH_CONFIG=composedcs BENCH_CORNER_MODE=top1cot \
 ab r3_prodscale_A_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="A:"
 ab r3_prodscale_B_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="B:"
 ab r3_prodscale_C_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="C:"
-ab r3_prodscale_D2_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="D2:"
+ab r3_prodscale_D3_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="D3:"
 ab r3_prodscale_E_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 AB_VARIANTS="E:"
 
 echo "QUEUE_R3D DONE $(date +%H:%M:%S)"

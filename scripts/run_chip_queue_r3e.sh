@@ -50,13 +50,21 @@ fi
 # 2. Seed-1 prodscale arms.
 ab r3_prodscale_B_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="B:"
 ab r3_prodscale_C_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="C:"
-ab r3_prodscale_D2_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="D2:"
+ab r3_prodscale_D3_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="D3:"
 # E seed-1: the equal-bytes F4 arm is the quality-concession-free flip
 # fallback (exact scatter) — if the r3d F4 speed probes pan out, this is
 # the arm the flip decision needs at a second seed.
 ab r3_prodscale_E_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="E:"
 
-# 3. slev gate: in-cell A control + slev=6 + slev=4 under c16 composed+cscot.
+# 3. hessian.fraction 0.25 -> 0.125 gate at the SHIPPED L16 shape (the
+#    f=0.125 arm passed its multi-seed gate at L12 in round 2 but was never
+#    measured at L16; static attribution: the exact-tap hessian site is a
+#    full second encoder pass, so f halving cuts exact-path scatter rows
+#    25% and gather rows 18%). In-cell f=0.25 control.
+ab r3_hf8_s0.log AB_STUDY=hessfix AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere \
+   AB_VARIANTS="f=0.25,f=0.125"
+
+# 4. slev gate: in-cell A control + slev=6 + slev=4 under c16 composed+cscot.
 ab r3_slev16_s0.log AB_STUDY=slev16 AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere
 
 echo "QUEUE_R3E DONE $(date +%H:%M:%S)"
