@@ -37,6 +37,25 @@ inf() {
   tail -1 "$log"
 }
 
+ab() {
+  local log="/tmp/ab_logs/$1"; shift
+  if [ -s "$log" ] && grep -q "PSNR" "$log" && grep -q DONE "$log"; then
+    echo "skip $log"; return
+  fi
+  if past_deadline; then echo "deadline: skip $log"; return; fi
+  echo "=== $log ($(date +%H:%M:%S)) ==="
+  env "$@" timeout "$(cell_timeout 14000)" python scripts/quality_ab.py > "$log" 2>&1
+  tail -n 12 "$log"
+}
+mkdir -p /tmp/ab_logs
+
+# -1. Decisive IN-CELL rerun of the lr3 worst cell: the r3d lrx arms vs the
+#     r3c in-cell control were cross-process (~0.25 dB platform noise), and
+#     s0 lr3 came in -0.29 while s1/s3 sit at -0.00/-0.02. One same-process
+#     control+lr3 cell settles whether s0 is a real failure or noise.
+ab r3_lr3_incell_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere \
+   AB_VARIANTS="B:,c16 csamp-top1-lr3"
+
 # 0. Gather-rate tier sweep (completes the speed-of-light model: converts
 #    the static forward-gather row counts from scripts/attribute_rows.py
 #    to seconds, like the measured scatter tiers do for the backward).
