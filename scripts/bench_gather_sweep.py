@@ -46,6 +46,22 @@ def run(size_log2, dtype, variant, n_log2=24):
         fn = jax.jit(lambda t, i: jnp.sum(jnp.take(t, i, axis=0), axis=0))
         args = (table, idx)
         rows = N
+    elif variant in ("take_wide", "scatter_wide"):
+        # Blocked-corner-storage shapes (PERF.md roadmap): 8F=64-lane
+        # (128-byte) rows, tables 4-52 MB, ~131K rows/op in the real step.
+        # Rates here decide whether dense-level blockification wins.
+        F = 64
+        table = jax.random.normal(jax.random.PRNGKey(1), (S, F), dtype)
+        N = 2**21
+        idx = jax.random.randint(key, (N,), 0, S, dtype=jnp.int32)
+        if variant == "take_wide":
+            fn = jax.jit(lambda t, i: jnp.sum(jnp.take(t, i, axis=0), axis=0))
+            args = (table, idx)
+        else:
+            vals = jax.random.normal(jax.random.PRNGKey(2), (N, F), dtype)
+            fn = jax.jit(lambda t, i, v: t.at[i].add(v))
+            args = (table, idx, vals)
+        rows = N
     elif variant == "take_sorted":
         idx = jnp.sort(idx)
         fn = jax.jit(lambda t, i: jnp.sum(jnp.take(t, i, axis=0), axis=0))
@@ -90,4 +106,10 @@ if __name__ == "__main__":
         run(sz, jnp.bfloat16, "take_sorted")
     for sz in (17, 19):
         run(sz, jnp.bfloat16, "take_16")
+    # Wide-row (64-lane) rates at blocked-corner table sizes: 2^15=4MB ...
+    # 2^18=33MB.
+    for sz in (15, 16, 17, 18):
+        run(sz, jnp.bfloat16, "take_wide")
+    for sz in (15, 16, 17, 18):
+        run(sz, jnp.bfloat16, "scatter_wide")
     print("SWEEP_DONE", flush=True)
