@@ -194,6 +194,11 @@ def build_bench_cfg():
     hess_frac = os.environ.get("BENCH_HESS_FRACTION")
     if hess_frac:
         cfg.model.object.sdf.gradient.hessian.fraction = float(hess_frac)
+    # Blocked-corner storage on DENSE levels (BENCH_DENSE_BLOCKED=1): exact
+    # 8x gather/scatter row cut on those levels (ops/hashgrid, PERF.md
+    # "Blocked-corner storage").
+    if os.environ.get("BENCH_DENSE_BLOCKED"):
+        cfg.model.object.sdf.encoding.hashgrid.dense_blocked = True
     # Importance-subsampled encoder gradients (BENCH_TOPK / BENCH_TOPK_STRIDE):
     # backward scatter rows drop to ~K/S at one extra no-grad forward
     # (models/neuralangelo.py eval_field_grad_subsampled; AB_STUDY=topk gates).

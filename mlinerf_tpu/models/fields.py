@@ -105,7 +105,9 @@ class NeuralSDF(nn.Module):
                                     corner_key=corner_key,
                                     corner_floor=floor, corner_k=k,
                                     corner_mode=mode,
-                                    corner_exact_finest=exact_finest)
+                                    corner_exact_finest=exact_finest,
+                                    dense_blocked=bool(
+                                        cfg_enc.hashgrid.get("dense_blocked", False)))
         else:
             feats = enc.positional_encoding(points_3D, cfg_enc.levels)
             if level_mask is not None:
@@ -150,6 +152,7 @@ class NeuralSDF(nn.Module):
             pallas_backward=self._pallas_backward(),
             corner_key=corner_key, corner_floor=floor, corner_k=k,
             corner_mode=mode, corner_exact_finest=exact_finest,
+            dense_blocked=bool(cfg_enc.hashgrid.get("dense_blocked", False)),
         )  # [..., 1+T, L*F]
         offs_all = jnp.concatenate(
             [jnp.zeros((1, 3), jnp.float32), offsets.astype(jnp.float32)], axis=0

@@ -285,6 +285,46 @@ def corner_sampled_combine(table_lv, idx, weights_all, key, floor: float = 0.125
     return fn(table_lv, idx, weights_all, key)
 
 
+def _blocked_dense_table(table_lv, res: int, corners):
+    """Per-CELL corner-block view of a DENSE level table.
+
+    Returns [(res-1)^3, 8*F]: row ``cid`` holds the 8 corner feature rows of
+    cell ``(cx, cy, cz)`` with ``cid = cx + (res-1)*(cy + (res-1)*cz)``, the
+    corner axis ordered like :func:`_corner_indices` (dx*4 + dy*2 + dz).
+    Built from 8 SHIFTED SLICES of the dense grid — a pure dense memory op
+    (no gather), whose VJP is 8 dense pad-adds (no scatter). One encoder
+    lookup then needs ONE gathered row per point instead of 8, and its
+    backward ONE scattered row — the 8x row cut on dense levels (PERF.md
+    "Blocked-corner storage"). Exact math both directions; costs ~7.3x the
+    level's table bytes as an in-graph temporary.
+    """
+    F = table_lv.shape[-1]
+    r = int(res)
+    # Flat vertex index is ix + r*(iy + r*iz) -> grid axes are (z, y, x).
+    grid = table_lv[: r * r * r].reshape(r, r, r, F)
+    m = r - 1
+    blocks = [
+        grid[dz:dz + m, dy:dy + m, dx:dx + m, :].reshape(m * m * m, F)
+        for dx, dy, dz in corners
+    ]
+    return jnp.stack(blocks, axis=1).reshape(m * m * m, 8 * F)
+
+
+def _blocked_take(table_lv, res: int, corners, cx, cy, cz, take):
+    """Gather the 8 corner rows of each point's cell in ONE row per point.
+
+    ``cx/cy/cz`` are the [1,P] base-cell coordinates (uint32, already
+    clamped to res-2). Returns feats [8, P, F] — identical (bitwise) to the
+    8-row take of the plain path, modulo float-free reindexing.
+    """
+    F = table_lv.shape[-1]
+    m = int(res) - 1
+    blocked = _blocked_dense_table(table_lv, res, corners)
+    cid = (cx + np.uint32(m) * (cy + np.uint32(m) * cz)).astype(jnp.int32)  # [1,P]
+    rows = take(blocked, cid.reshape(-1))  # [P, 8F]
+    return jnp.transpose(rows.reshape(-1, 8, F), (1, 0, 2))  # [8,P,F]
+
+
 def _row_take_fn(pallas_backward: bool):
     """Row-gather whose VJP routes through the Pallas VMEM scatter-accumulate
     kernel when enabled and applicable (ops/hashgrid_pallas.py; falls back to
@@ -307,7 +347,7 @@ def _row_take_fn(pallas_backward: bool):
 def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
            pallas_backward: bool = False, corner_key=None, corner_floor: float = 0.125,
            corner_k: int = 1, corner_mode: str = "cotangent",
-           corner_exact_finest: int = 0):
+           corner_exact_finest: int = 0, dense_blocked: bool = False):
     """Encode 3D points into concatenated per-level features.
 
     ``corner_key`` (optional uint32 PRNG key): route the backward through the
@@ -392,7 +432,13 @@ def encode(table, points, spec: HashGridSpec, level_mask=None, max_levels=None,
                 ^ iz * np.uint32(_PRIMES[2])
             ) % np.uint32(table_sizes[lv])
         idx = idx.astype(jnp.int32)  # [8,P]
-        if corner_key is not None and lv < spec.num_levels - corner_exact_finest:
+        if dense_blocked and dense[lv]:
+            # Blocked-corner dense path: 1 gather row and 1 backward scatter
+            # row per point — exact, so it supersedes the corner-SAMPLED
+            # estimator on dense levels (fewer rows AND no noise).
+            feats = _blocked_take(table[lv], resolutions[lv], corners, cx, cy, cz, take)
+            out_l = jnp.einsum("cpf,cp->fp", feats, weights.astype(feats.dtype))
+        elif corner_key is not None and lv < spec.num_levels - corner_exact_finest:
             out_l = corner_sampled_combine(
                 table[lv], idx, weights[None], jax.random.fold_in(corner_key, lv),
                 floor=corner_floor, k_samples=corner_k, mode=corner_mode,
@@ -414,7 +460,8 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                    shared_levels: int = 0, max_levels=None,
                    pallas_backward: bool = False, corner_key=None,
                    corner_floor: float = 0.125, corner_k: int = 1,
-                   corner_mode: str = "cotangent", corner_exact_finest: int = 0):
+                   corner_mode: str = "cotangent", corner_exact_finest: int = 0,
+                   dense_blocked: bool = False):
     """Encode a stencil of points (center + taps) with shared corner gathers.
 
     The numerical-gradient path (reference
@@ -523,7 +570,18 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 wy = jnp.where(dys == 1, fey, 1.0 - fey)
                 wz = jnp.where(dzs == 1, fez, 1.0 - fez)
                 w_evals.append(wx * wy * wz)
-            if corner_key is not None and lv < spec.num_levels - corner_exact_finest:
+            if dense_blocked and dense[lv]:
+                # Blocked-corner dense path (see `encode`): exact, 1 row per
+                # point each way — supersedes the sampled estimator here.
+                feats = _blocked_take(
+                    table[lv], resolutions[lv], corners, cx, cy, cz, take)
+                for e in range(E):
+                    out_l = jnp.einsum(
+                        "cpf,cp->fp", feats, w_evals[e].astype(feats.dtype))
+                    if mask_l is not None:
+                        out_l = out_l * mask_l.astype(out_l.dtype)
+                    outs[e].append(out_l)
+            elif corner_key is not None and lv < spec.num_levels - corner_exact_finest:
                 out_le = corner_sampled_combine(
                     table[lv], idx, jnp.stack(w_evals, axis=0),
                     jax.random.fold_in(corner_key, lv), floor=corner_floor,
@@ -561,7 +619,12 @@ def encode_stencil(table, points, offsets, spec: HashGridSpec, level_mask=None,
                 wy = jnp.where(dys == 1, fey, 1.0 - fey)
                 wz = jnp.where(dzs == 1, fez, 1.0 - fez)
                 weights = wx * wy * wz
-                if corner_key is not None and lv < spec.num_levels - corner_exact_finest:
+                if dense_blocked and dense[lv]:
+                    feats = _blocked_take(
+                        table[lv], resolutions[lv], corners, cx, cy, cz, take)
+                    out_l = jnp.einsum(
+                        "cpf,cp->fp", feats, weights.astype(feats.dtype))
+                elif corner_key is not None and lv < spec.num_levels - corner_exact_finest:
                     out_l = corner_sampled_combine(
                         table[lv], idx, weights[None],
                         jax.random.fold_in(corner_key, lv * (E + 1) + e + 1),

@@ -66,6 +66,21 @@ if ! past_deadline && [ ! -s /tmp/bench_logs/r3_gather_sweep.log ]; then
   tail -3 /tmp/bench_logs/r3_gather_sweep.log
 fi
 
+# 0b. Blocked-corner dense-level storage probe (exact 8x row cut on dense
+#     levels, ops/hashgrid._blocked_dense_table; whether it wins depends on
+#     the wide-row tier rates the gather sweep measures).
+probe() {
+  local log="/tmp/bench_logs/$1"; shift
+  if [ -s "$log" ] && grep -q rays_per_sec "$log"; then
+    echo "skip $log"; return
+  fi
+  if past_deadline; then echo "deadline: skip $log"; return; fi
+  echo "=== $log ($(date +%H:%M:%S)) ==="
+  env "$@" timeout "$(cell_timeout 2400)" python bench.py > "$log" 2>"${log%.log}.err"
+  tail -1 "$log"
+}
+probe r3_comp_blocked.log BENCH_CONFIG=composed BENCH_DENSE_BLOCKED=1
+
 # 1. Window ladder (512x512 = 64 chunks of 4096; INF_WINDOW=64 is the fused
 #    whole image that historically faulted the worker — run it LAST so a
 #    wedged client can't block the earlier cells).
