@@ -133,8 +133,11 @@ def build_bench_cfg():
             cfg.model.object.sdf.gradient.corner_sample.enabled = True
         if named.startswith("composedcstop1"):
             # Rao-Blackwellized draw (round 3): exact argmax row + one
-            # sampled residual row.
+            # sampled residual row, with the Adam v-hat compensation the
+            # toy lrx gates selected (table LR x2.83 ~ sqrt(8); the sampled
+            # scatter inflates the second moment ~1/q per coordinate).
             cfg.model.object.sdf.gradient.corner_sample.mode = "top1cot"
+            cfg.optim.lr_scales = {"hash_table": 2.83}
         if named == "composedcstop1f4":
             # Narrow-feature restructure at equal table bytes to
             # composedcs17 (F4 dict18 = F8 dict17 bytes; fhalf + prodscale
@@ -311,7 +314,7 @@ def measure(steps_per_dispatch: int) -> None:
     grad = cfg.model.object.sdf.gradient
     ref = {"dict_size": 22, "levels": 16, "coarse": 64, "hierarchy": 4,
            "shared_levels": 0, "hessian": "n/a (exact taps)",
-           "corner_sample": False}
+           "corner_sample": False, "table_lr_scale": 1.0}
     cur = {"dict_size": int(e.hashgrid.dict_size), "levels": int(e.levels),
            "coarse": int(cfg.model.render.num_samples.coarse),
            "hierarchy": int(cfg.model.render.num_sample_hierarchy),
@@ -319,7 +322,9 @@ def measure(steps_per_dispatch: int) -> None:
            "hessian": f"{grad.hessian.mode} f={grad.hessian.fraction}"
                       if grad.shared_levels else "n/a (exact taps)",
            "corner_sample": bool(grad.corner_sample.enabled) and
-                            str(grad.corner_sample.mode)}
+                            str(grad.corner_sample.mode),
+           "table_lr_scale": float(
+               (cfg.optim.get("lr_scales", {}) or {}).get("hash_table", 1.0))}
     delta = {k: f"{ref[k]} -> {cur[k]}" for k in ref if cur[k] != ref[k]}
     print(json.dumps({
         "metric": "train_rays_per_sec",
