@@ -216,3 +216,26 @@ def test_corner_sampled_sharded_matches_unsharded(tmp_path):
         tr.train(arrays)
         results[mesh_mode] = tr.losses_host["render"]
     np.testing.assert_allclose(results["none"], results["rays"], rtol=1e-4)
+
+
+def test_dense_blocked_sharded_matches_unsharded(tmp_path):
+    """Blocked-corner dense-level storage (encoding.hashgrid.dense_blocked)
+    under ray sharding: the blocked table is a pure function of the
+    (replicated) level table, so the sharded run must reproduce the
+    replicated losses."""
+    from tests.test_train_e2e import tiny_lumen_cfg
+    from mlinerf_tpu.config import resolve
+
+    results = {}
+    for mesh_mode in ("none", "rays"):
+        cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=3)
+        cfg.model.render.rand_rays = 64
+        cfg.runtime.mesh = mesh_mode
+        cfg.model.object.sdf.encoding.hashgrid.dense_blocked = True
+        Dataset = resolve("dataset", cfg.data.type)
+        arrays = Dataset(cfg).as_arrays()
+        Trainer = resolve("trainer", cfg.trainer.type)
+        tr = Trainer(cfg, seed=0, logdir=str(tmp_path / f"db_{mesh_mode}"))
+        tr.train(arrays)
+        results[mesh_mode] = tr.losses_host["render"]
+    np.testing.assert_allclose(results["none"], results["rays"], rtol=1e-4)
