@@ -97,3 +97,45 @@ def test_ema_params_track_training(tmp_path):
     ev = jax.device_get(jax.tree.leaves(tr.eval_params()))
     for a, b in zip(ev, ema_leaves):
         np.testing.assert_array_equal(a, b)
+
+
+def test_sampling_levels_truncation(tmp_path, monkeypatch):
+    """render.sampling_levels caps the hash levels for the importance-
+    sampling PDF evals ONLY: the sampling-path sdf_only calls must see the
+    static max_levels cap, training must stay finite, and slev == L must
+    reproduce the default losses bitwise. (An output-inequality assertion
+    would be vacuous here: at tiny-init the truncated levels carry ~1e-4
+    features, so placement is numerically identical.)"""
+    from tests.test_train_e2e import tiny_lumen_cfg
+    from mlinerf_tpu.config import resolve
+    import mlinerf_tpu.models.neuralangelo as na
+
+    losses = {}
+    for slev in (None, 4, 2):
+        cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=3)
+        # All 4 levels active from iter 0 — otherwise the coarse2fine
+        # window cap (<= 2 active levels by iter 3) masks the slev cap.
+        cfg.model.object.sdf.encoding.coarse2fine.enabled = False
+        if slev is not None:
+            cfg.model.render.sampling_levels = slev
+        seen = []
+        orig = na.Model.sdf_only
+
+        def spy(self, points, cond, _orig=orig, _seen=seen):
+            _seen.append(cond.get("max_levels"))
+            return _orig(self, points, cond)
+
+        monkeypatch.setattr(na.Model, "sdf_only", spy)
+        Dataset = resolve("dataset", cfg.data.type)
+        arrays = Dataset(cfg).as_arrays()
+        Trainer = resolve("trainer", cfg.trainer.type)
+        tr = Trainer(cfg, seed=0, logdir=str(tmp_path / f"slev_{slev}"))
+        tr.train(arrays)
+        monkeypatch.setattr(na.Model, "sdf_only", orig)
+        losses[slev] = np.asarray(tr.losses_host["render"])
+        assert np.all(np.isfinite(losses[slev]))
+        if slev is not None:
+            # The sampling-path eval (traced once) saw the static cap.
+            assert slev in seen, (slev, seen)
+    # Cap == L (4 levels in the tiny cfg) is a no-op: bitwise-equal losses.
+    np.testing.assert_array_equal(losses[None], losses[4])
