@@ -518,7 +518,8 @@ def main():
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
             cfg.model.object.sdf.gradient.hessian.fraction = 0.25
 
-        def c16_csamp(mode="center", corners=1, exact_finest=0, lr_scale=None):
+        def c16_csamp(mode="center", corners=1, exact_finest=0, lr_scale=None,
+                      hess_fraction=None):
             def f(cfg):
                 c16_base(cfg)
                 cs = cfg.model.object.sdf.gradient.corner_sample
@@ -527,6 +528,8 @@ def main():
                 cs.mode = mode
                 cs.corners = corners
                 cs.exact_finest = exact_finest
+                if hess_fraction is not None:
+                    cfg.model.object.sdf.gradient.hessian.fraction = hess_fraction
                 if lr_scale is not None:
                     # Compensate Adam's v-hat inflation under the sampled
                     # scatter (~1/q per coordinate -> effective table LR
@@ -563,6 +566,11 @@ def main():
             # Adam v-hat compensation arms (lr_scales on the tables only).
             ("c16 csamp-top1-lr2", c16_csamp(mode="top1cot", lr_scale=2.0)),
             ("c16 csamp-top1-lr3", c16_csamp(mode="top1cot", lr_scale=2.83)),
+            # + hessian.fraction 0.25 -> 0.125 composition (chip: +17.5% at
+            # the top1cot point, 2703.3 -> 3177.7 rays/s; the f=0.125 arm
+            # passed its own 3-seed gate at L12 in round 2).
+            ("c16 csamp-top1-lr3-hf8", c16_csamp(mode="top1cot", lr_scale=2.83,
+                                                 hess_fraction=0.125)),
         ]
     elif study == "fhalf":
         # Equal-BYTES feature-width question at the ultra-small-table tier:
