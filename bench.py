@@ -122,10 +122,17 @@ def build_bench_cfg():
         if named in ("lvl12", "composed12", "composed12f8", "composed12topk"):
             e.levels = 12
         if named.startswith("composed"):
-            cfg.model.object.sdf.gradient.shared_levels = e.levels
-            cfg.model.object.sdf.gradient.hessian.mode = "exact"
-            cfg.model.object.sdf.gradient.hessian.fraction = (
-                0.125 if named in ("composed12f8", "composed12topk") else 0.25)
+            # BENCH_SHARED_LEVELS=auto overrides the composed family's
+            # all-shared default (shared=L-1, taps carry real finest-level
+            # curvature, no exact-hessian pass — the r3e auto re-judge).
+            if shared == "auto":
+                cfg.model.object.sdf.gradient.shared_levels = "auto"
+                cfg.model.object.sdf.gradient.hessian.mode = "shared"
+            else:
+                cfg.model.object.sdf.gradient.shared_levels = e.levels
+                cfg.model.object.sdf.gradient.hessian.mode = "exact"
+                cfg.model.object.sdf.gradient.hessian.fraction = (
+                    0.125 if named in ("composed12f8", "composed12topk") else 0.25)
         if named.startswith("composedcs"):
             # Corner-sampled backward table scatter on the L16 composed
             # shape (ops/hashgrid.corner_sampled_combine; gates r2m/r2n,

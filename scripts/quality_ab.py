@@ -518,6 +518,19 @@ def main():
             cfg.model.object.sdf.gradient.hessian.mode = "exact"
             cfg.model.object.sdf.gradient.hessian.fraction = 0.25
 
+        def c16_auto(csamp_lr3=False):
+            def f(cfg):
+                c16_base(cfg)
+                cfg.model.object.sdf.gradient.shared_levels = "auto"
+                cfg.model.object.sdf.gradient.hessian.mode = "shared"
+                if csamp_lr3:
+                    cs = cfg.model.object.sdf.gradient.corner_sample
+                    cs.enabled = True
+                    cs.floor = 0.125
+                    cs.mode = "top1cot"
+                    cfg.optim.lr_scales = {"hash_table": 2.83}
+            return f
+
         def c16_csamp(mode="center", corners=1, exact_finest=0, lr_scale=None,
                       hess_fraction=None):
             def f(cfg):
@@ -571,6 +584,17 @@ def main():
             # passed its own 3-seed gate at L12 in round 2).
             ("c16 csamp-top1-lr3-hf8", c16_csamp(mode="top1cot", lr_scale=2.83,
                                                  hess_fraction=0.125)),
+            # shared_levels="auto" re-judge at convergence length (the
+            # round-1 rejection was an 800-iter cell, i.e. mid-annealing —
+            # the harness later shown to mis-measure): share all but the
+            # finest level so the taps carry REAL curvature from the
+            # exact-gathered finest level, and DROP the exact-hessian pass
+            # entirely (hessian.mode=shared) — deletes a full second
+            # encoder pass (-16.8M gather AND scatter rows at +4.2M each
+            # for the unshared finest taps; projected ~2800 rays/s exact /
+            # ~4100 with top1cot+lr3 at d19).
+            ("c16 auto-hshared", c16_auto()),
+            ("c16 csamp-top1-lr3-auto", c16_auto(csamp_lr3=True)),
         ]
     elif study == "fhalf":
         # Equal-BYTES feature-width question at the ultra-small-table tier:

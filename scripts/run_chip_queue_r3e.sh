@@ -54,6 +54,26 @@ if ! past_deadline && [ ! -s /tmp/bench_logs/r3_gather_sweep.log ]; then
   tail -3 /tmp/bench_logs/r3_gather_sweep.log
 fi
 
+probe() {
+  local log="/tmp/bench_logs/$1"; shift
+  if [ -s "$log" ] && grep -q rays_per_sec "$log"; then
+    echo "skip $log"; return
+  fi
+  if past_deadline; then echo "deadline: skip $log"; return; fi
+  echo "=== $log ($(date +%H:%M:%S)) ==="
+  env "$@" timeout "$(cell_timeout 2400)" python bench.py > "$log" 2>"${log%.log}.err"
+  tail -1 "$log"
+}
+
+# 2b. shared=auto re-judge, EXACT arm (the round-1 rejection was an
+#     800-iter mid-annealing cell; deleting the exact-hessian pass is
+#     worth ~-25M rows each way — see quality_ab csamp-study comments).
+#     The top1cot-lr3-auto composition arm rides the in-cell rerun above.
+ab r3_auto_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere \
+   AB_VARIANTS="c16 auto-hshared"
+probe r3_comp_auto.log BENCH_CONFIG=composed BENCH_SHARED_LEVELS=auto
+probe r3_cstop1_auto.log BENCH_CONFIG=composedcstop1 BENCH_SHARED_LEVELS=auto
+
 # 3. In-window per-op trace (scanned 16-step window; single-step profiles of
 #    this workload are not representative — see verify notes).
 if ! past_deadline && [ ! -s /tmp/bench_logs/r3_profile_cstop1.log ]; then
