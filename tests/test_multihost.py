@@ -77,3 +77,42 @@ def test_nonmain_process_writes_nothing(tmp_path, monkeypatch):
     ck.save({"a": 1}, epoch=0, iteration=1, latest=True)
     ck.wait()
     assert not os.path.exists(os.path.join(str(tmp_path), "latest_checkpoint.pkl"))
+
+
+def test_multihost_two_process_collective():
+    """TWO real processes through the runtime.multihost config path: both
+    register with the coordinator (process_count == 2), cross-process
+    collectives work (Gloo allgather sees both ranks' values), and only
+    process 0 reports main."""
+    code = r"""
+import os, sys
+pid = int(sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mlinerf_tpu.parallel import mesh as pmesh
+
+cfg = {"runtime": {"multihost": {
+    "coordinator_address": "127.0.0.1:47037",
+    "num_processes": 2,
+    "process_id": pid,
+}}}
+assert pmesh.init_multihost(cfg) is True
+assert jax.process_count() == 2
+assert pmesh.is_main_process() == (pid == 0)
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+got = multihost_utils.process_allgather(jnp.asarray([float(pid + 1)]))
+assert got.reshape(-1).tolist() == [1.0, 2.0], got
+print(f"MH2_OK_{pid}")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(pid)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, cwd=cwd, env=env)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for pid, (out, err) in enumerate(outs):
+        assert f"MH2_OK_{pid}" in out, (pid, out, err[-2000:])
