@@ -116,3 +116,58 @@ print(f"MH2_OK_{pid}")
     outs = [p.communicate(timeout=300) for p in procs]
     for pid, (out, err) in enumerate(outs):
         assert f"MH2_OK_{pid}" in out, (pid, out, err[-2000:])
+
+
+def test_multihost_two_process_training(tmp_path):
+    """FULL training across two processes: each rank drives one device of a
+    global 2-device 'rays' mesh (multi-controller SPMD), losses agree across
+    ranks exactly, and match the single-process run up to cross-host psum
+    reduction order (~1e-7)."""
+    code = r"""
+import os, sys, tempfile
+pid = int(sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mlinerf_tpu.parallel import mesh as pmesh
+cfg_mh = {"runtime": {"multihost": {
+    "coordinator_address": "127.0.0.1:47043",
+    "num_processes": 2, "process_id": pid}}}
+assert pmesh.init_multihost(cfg_mh) is True
+assert len(jax.local_devices()) == 1, jax.local_devices()
+from tests.test_train_e2e import tiny_lumen_cfg
+from mlinerf_tpu.config import resolve
+cfg = tiny_lumen_cfg(tempfile.mkdtemp(), "a", max_iter=2)
+cfg.model.render.rand_rays = 64
+cfg.runtime.mesh = "rays"
+Dataset = resolve("dataset", cfg.data.type)
+arrays = Dataset(cfg).as_arrays()
+Trainer = resolve("trainer", cfg.trainer.type)
+tr = Trainer(cfg, seed=0, logdir=tempfile.mkdtemp())
+assert tr.mesh is not None and tr.mesh.devices.size == 2
+tr.train(arrays)
+print(f"MHTRAIN_{pid}_LOSS={float(tr.losses_host['render']):.9f}", flush=True)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # The suite's conftest forces an 8-device virtual CPU platform via
+    # XLA_FLAGS; this test wants ONE local device per process (a true
+    # 2-process, 2-device global mesh), so strip the flag.
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count"))
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(pid)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, cwd=cwd, env=env)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    losses = []
+    for pid, (out, err) in enumerate(outs):
+        tag = f"MHTRAIN_{pid}_LOSS="
+        assert tag in out, (pid, out, err[-2000:])
+        losses.append(float(out.split(tag)[1].split()[0]))
+    assert losses[0] == losses[1], losses  # ranks agree exactly
+    # Single-process value for this cfg/seed is ~0.61098230; cross-host psum
+    # changes reduction order only.
+    assert abs(losses[0] - 0.6109823) < 1e-4, losses
