@@ -786,11 +786,17 @@ def main():
 
     # AB_VARIANTS: comma-separated substrings selecting a subset of the
     # study's variants by name (saves serial CPU time when some cells are
-    # already measured — e.g. AB_VARIANTS="hess=exact").
+    # already measured — e.g. AB_VARIANTS="hess=exact"). A selector ending
+    # in "$" requires an EXACT name match (e.g. "c16 csamp-top1-lr3$" picks
+    # only that arm, not its -hf8/-auto extensions).
     sel = os.environ.get("AB_VARIANTS")
     if sel:
         keys = [s.strip() for s in sel.split(",") if s.strip()]
-        variants = [(n, m) for n, m in variants if any(k in n for k in keys)]
+
+        def _match(name, k):
+            return name == k[:-1] if k.endswith("$") else k in name
+
+        variants = [(n, m) for n, m in variants if any(_match(n, k) for k in keys)]
     for name, mutate in variants:
         run_variant(name, mutate, iters)
     print("DONE", flush=True)

@@ -44,7 +44,7 @@ ab() {
 # 1. Decisive in-cell rerun of the lr3 worst cell (same process as its
 #    control: kills the cross-process noise question at s0).
 ab r3_lr3_incell_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere \
-   AB_VARIANTS="B:,c16 csamp-top1-lr3"
+   AB_VARIANTS="B:,c16 csamp-top1-lr3$"
 
 # 2. Gather-rate tier sweep (speed-of-light remainder model input).
 if ! past_deadline && [ ! -s /tmp/bench_logs/r3_gather_sweep.log ]; then

@@ -54,7 +54,7 @@ mkdir -p /tmp/ab_logs
 #     s0 lr3 came in -0.29 while s1/s3 sit at -0.00/-0.02. One same-process
 #     control+lr3 cell settles whether s0 is a real failure or noise.
 ab r3_lr3_incell_s0.log AB_STUDY=csamp AB_ITERS=2000 AB_SEED=0 AB_SCENE=sphere \
-   AB_VARIANTS="B:,c16 csamp-top1-lr3"
+   AB_VARIANTS="B:,c16 csamp-top1-lr3$"
 
 # 0. Gather-rate tier sweep (completes the speed-of-light model: converts
 #    the static forward-gather row counts from scripts/attribute_rows.py
