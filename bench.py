@@ -227,6 +227,14 @@ def build_bench_cfg():
     slev = os.environ.get("BENCH_SAMPLING_LEVELS")
     if slev:
         cfg.model.render.sampling_levels = int(slev)
+    # Mesh on/off (BENCH_MESH=none|rays|batch): config_base defaults to a
+    # 1-D "rays" mesh even on one chip; BENCH_MESH=none measures the same
+    # program with NO sharding constraints, bounding the constraint/sharding
+    # overhead on a single device (round-3 verdict item 3 — the multi-chip
+    # scaling model needs this constant).
+    bmesh = os.environ.get("BENCH_MESH")
+    if bmesh:
+        cfg.runtime.mesh = bmesh
     freeze = os.environ.get("BENCH_FREEZE")
     if freeze == "tables":
         cfg.optim.partial_training = ["mlp", "s_var"]
@@ -265,6 +273,38 @@ def build_bench_cfg():
         if st is not None:
             sub.stride = int(st)
     return cfg
+
+
+def _measure_render(cfg, trainer) -> float:
+    """Warm full-image render rays/s on the trainer just benchmarked.
+
+    Mirrors scripts/bench_inference.py (512x512 through the shared windowed
+    renderer, 4096-ray chunks x 4 per dispatch — the validated recipe) but
+    rides the same process/state so the driver artifact carries train AND
+    render in one line.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from mlinerf_tpu.config import resolve
+
+    cfg.model.render.rand_rays_val = int(os.environ.get("INF_CHUNK", 4096))
+    H, W = cfg.data.val.image_size
+    Dataset = resolve("dataset", cfg.data.type)
+    sample = Dataset(cfg, is_inference=True).get_full_sample(0)
+    data = {k: np.asarray(v)[None] for k, v in sample.items()
+            if k in ("pose", "intr", "pose_light")}
+    out = trainer.render_image(data, (H, W))  # compile + warm
+    assert np.isfinite(out["rgb"]).all()
+    times = []
+    for _ in range(int(os.environ.get("BENCH_RENDER_REPEATS", 2))):
+        t0 = time.time()
+        trainer.render_image(data, (H, W))
+        times.append(time.time() - t0)
+    times.sort()
+    return round(H * W / times[len(times) // 2], 1)
 
 
 def measure(steps_per_dispatch: int) -> None:
@@ -319,10 +359,13 @@ def measure(steps_per_dispatch: int) -> None:
     # require cross-referencing the config code.
     e = cfg.model.object.sdf.encoding
     grad = cfg.model.object.sdf.gradient
-    ref = {"dict_size": 22, "levels": 16, "coarse": 64, "hierarchy": 4,
+    ref = {"dict_size": 22, "levels": 16, "features_per_level": 8,
+           "coarse": 64, "hierarchy": 4,
            "shared_levels": 0, "hessian": "n/a (exact taps)",
-           "corner_sample": False, "table_lr_scale": 1.0}
+           "corner_sample": False, "table_lr_scale": 1.0,
+           "dense_blocked": False, "sampling_levels": "all"}
     cur = {"dict_size": int(e.hashgrid.dict_size), "levels": int(e.levels),
+           "features_per_level": int(e.hashgrid.dim),
            "coarse": int(cfg.model.render.num_samples.coarse),
            "hierarchy": int(cfg.model.render.num_sample_hierarchy),
            "shared_levels": grad.shared_levels,
@@ -331,13 +374,34 @@ def measure(steps_per_dispatch: int) -> None:
            "corner_sample": bool(grad.corner_sample.enabled) and
                             str(grad.corner_sample.mode),
            "table_lr_scale": float(
-               (cfg.optim.get("lr_scales", {}) or {}).get("hash_table", 1.0))}
+               (cfg.optim.get("lr_scales", {}) or {}).get("hash_table", 1.0)),
+           "dense_blocked": bool(e.hashgrid.get("dense_blocked", False)),
+           "sampling_levels": cfg.model.render.get("sampling_levels") or "all"}
     delta = {k: f"{ref[k]} -> {cur[k]}" for k in ref if cur[k] != ref[k]}
+    # Render throughput in the same artifact (BASELINE.json's metric is
+    # train+render): one warm full-image render through the shared windowed
+    # renderer at the validated 4096x4 recipe. Fault-isolated: a render
+    # failure must not cost the train number.
+    render_rays_per_sec = None
+    if not os.environ.get("BENCH_SKIP_RENDER"):
+        try:
+            # The measured windows DONATED trainer.state's original buffers;
+            # point the trainer at the live state before rendering.
+            trainer.state = state
+            render_rays_per_sec = _measure_render(cfg, trainer)
+        except Exception as exc:  # noqa: BLE001 - report, keep train number
+            import sys
+            sys.stderr.write(f"[bench] render measurement failed: {exc!r}\n")
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        # BASELINE.md's north star is >= 2x the A100 envelope; report the
+        # ratio against that target explicitly so the artifact reads
+        # without knowing to halve vs_baseline (round-3 verdict item 7).
+        "vs_target_2x_a100": round(rays_per_sec / (2 * BASELINE_RAYS_PER_SEC), 3),
+        "render_rays_per_sec": render_rays_per_sec,
         "config": os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG),
         "semantics_delta_vs_reference": delta or "none (reference-exact)",
         "steps_per_dispatch": steps_per_dispatch,
@@ -391,6 +455,11 @@ def main():
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
                                timeout=float(os.environ.get("BENCH_TIMEOUT", 3000)))
+            # Surface the child's own diagnostics (e.g. a failed render
+            # measurement) — they must not be swallowed by capture_output.
+            for eline in (r.stderr or "").splitlines():
+                if eline.startswith("[bench]"):
+                    sys.stderr.write(eline + "\n")
             for line in reversed((r.stdout or "").strip().splitlines()):
                 if line.startswith("{"):
                     print(line)

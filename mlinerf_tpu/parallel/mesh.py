@@ -82,6 +82,20 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def sync_processes(name: str = "barrier") -> None:
+    """Cross-process barrier (no-op single-host).
+
+    Reference ``dist.barrier()`` (imaginaire/utils/distributed.py:87-98).
+    Used by test.py so non-main processes wait for process 0's render
+    instead of exiting early and tripping the coordinator's peer-failure
+    detection.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def get_mesh(strategy: str = "rays", devices=None) -> Optional[Mesh]:
     """Build a 1-D mesh over all devices (or None to disable sharding)."""
     if strategy in (None, "none", False):

@@ -42,6 +42,28 @@ from mlinerf_tpu.trainers import optim as optim_lib
 from mlinerf_tpu.utils import camera, sampling as samp
 
 
+def _is_worker_fault(exc: Exception) -> bool:
+    """Classify a device-runtime failure as a recoverable worker fault.
+
+    The v5e worker crash under sustained scatter pressure surfaces as an
+    ``XlaRuntimeError`` whose message names the crashed/restarted worker
+    (PERF.md "worker-fault bisection"); transient bring-up faults appear as
+    FAILED_PRECONDITION/DATA_LOSS. Host-side errors (NaN kill-switch,
+    TimeoutError, bugs) must NOT match — recovery would mask them.
+    """
+    if type(exc).__name__ not in (
+            "XlaRuntimeError", "JaxRuntimeError", "InternalError",
+            "FailedPreconditionError", "RuntimeError"):
+        return False
+    msg = str(exc).lower()
+    return any(sig in msg for sig in (
+        "worker process crashed", "crashed or restarted", "tpu worker",
+        "kernel fault", "data_loss", "data loss", "failed_precondition",
+        "failed precondition", "socket closed", "connection reset",
+        "injected worker fault",  # fault-injection tests
+    ))
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -348,11 +370,29 @@ class BaseTrainer:
             return
         payload = Checkpointer.load_file(upt.pt_filename)
         source = payload["state"]["params"]
-        new_params, report = nonstrict_restore(jax.device_get(self.state.params), source)
+        # fetch_to_host (not device_get): under runtime.shard_tables +
+        # multihost the live params are cross-host sharded — the fetch is a
+        # collective every process reaches here (same path on all hosts).
+        from mlinerf_tpu.trainers.checkpoint import fetch_to_host
+        new_params, report = nonstrict_restore(fetch_to_host(self.state.params), source)
         print(f"[warm-start] loaded {upt.pt_filename}")
         print(f"  missing keys: {report['missing'][:8]}{'...' if len(report['missing'])>8 else ''}")
         print(f"  unexpected keys: {report['unexpected'][:8]}{'...' if len(report['unexpected'])>8 else ''}")
         self.state = self.state.replace(params=jax.tree.map(jnp.asarray, new_params))
+        self._reshard_state()
+
+    def _reshard_state(self):
+        """Re-apply the configured state shardings after a load/warm-start.
+
+        ``load_checkpoint``/``_maybe_warm_start`` replace state leaves with
+        freshly ``jnp.asarray``-ed host values (process-local, unsharded);
+        when ``runtime.shard_tables`` placed hash-table rows across the mesh
+        at init, the restored leaves must go back to those shardings or the
+        next jitted step recompiles against (and on multi-host, miscommits)
+        the wrong layout.
+        """
+        if self.mesh is not None and self.cfg.get("runtime", {}).get("shard_tables"):
+            self.state = pmesh.shard_hash_tables(self.mesh, self.state)
 
     # ------------------------------------------------------------------
     # Schedule plumbing (overridden per project)
@@ -633,73 +673,123 @@ class BaseTrainer:
         info = None
         t_window = time.time()
         iters_in_window = 0
+        # Worker-fault auto-recovery (PERF.md "worker-fault bisection"): a
+        # TPU worker crash mid-window loses the donated state, but training
+        # is exactly resumable by construction (iteration-keyed sampling +
+        # latest_checkpoint.txt). On a recoverable fault: reload the latest
+        # checkpoint, re-upload the data from the host snapshot, halve the
+        # dispatch window, and continue — converting the crash boundary from
+        # a correctness cliff into an annealing knob so defaults can run
+        # larger windows. Loss is bounded by the checkpoint cadence.
+        fr_cfg = cfg.trainer.get("fault_recovery", {}) or {}
+        fr_enabled = bool(fr_cfg.get("enabled", True))
+        fr_max = int(fr_cfg.get("max_retries", 2))
+        recoveries = 0
+        arrays_host = None
+        if fr_enabled:
+            # Host snapshot for post-fault re-upload. train.py passes host
+            # numpy (Dataset.as_arrays), so this is free there; device-array
+            # callers pay one D2H copy.
+            arrays_host = {k: np.asarray(v) for k, v in train_arrays.items()}
         self.watchdog.reset()
         it = start_iter
         while it < max_iter:
-            if occ_enabled and (occ_last_update is None or it - occ_last_update >= occ_every):
-                arrays["occupancy_grid"] = occ_update_fn(
-                    state.params, jnp.asarray(it, jnp.int32)
-                )
-                self._last_occupancy_grid = arrays["occupancy_grid"]
-                occ_last_update = it
-            n = min(spd, max_iter - it)
-            # Never step across a cadence boundary.
-            to_boundary = cadence - (it % cadence)
-            n = min(n, to_boundary)
-            self._train_max_levels = self.static_max_levels_for(it + n - 1)
-            self.timer.start_iteration()
-            if auto_spd and it > start_iter and (n, self._train_max_levels) in loops:
-                # Time one real step on an ALREADY-COMPILED program (a
-                # level-growth retrace would inflate the measurement), with
-                # a forced sync, then lock the window size.
-                t0 = time.time()
-                state, info = run(state, n, rng)
-                jax.device_get(info["total"])
-                t_step = max((time.time() - t0) / n, 1e-6)
-                budget = float(cfg.trainer.get("dispatch_time_budget", 45.0))
-                spd = max(min(int(budget // t_step), 32, cadence), 1)
-                auto_spd = False
-                print(f"[trainer] auto steps_per_dispatch: {t_step:.2f} s/step "
-                      f"-> window {spd} (budget {budget:.0f} s)")
-            else:
-                state, info = run(state, n, rng)
-            it += n
-            iters_in_window += n
-            self.current_iteration = it
-            self.current_epoch = it * cfg.data.train.batch_size // images_per_epoch
-            if it % min(log_iter, scalar_iter) == 0 or it == max_iter:
-                info_host = jax.device_get(info)
-                total = float(info_host["total"])
-                if not np.isfinite(total):
-                    self.state = state
-                    raise FloatingPointError(
-                        f"Training loss is {total} at iteration {it} — aborting "
-                        f"(NaN/Inf kill-switch, reference: projects/nerf/trainers/base.py:58)."
-                    )
-                self.losses_host = {k: float(v) for k, v in info_host["losses"].items()}
-                self.metrics_host = {k: float(v) for k, v in info_host["metrics"].items()}
-                dt = (time.time() - t_window) / max(iters_in_window, 1)
-                t_window = time.time()
-                iters_in_window = 0
-                scalars = {
-                    "train/total_loss": total,
-                    "train/iter_time": dt,
-                    "train/rays_per_sec": self.num_rand_rays() * cfg.data.train.batch_size / dt,
-                    "optim/lr": float(self.lr_fn(it)),
-                    "train/grad_norm": float(info_host["grad_norm"]),
-                    **{f"train/loss/{k}": v for k, v in self.losses_host.items()},
-                    **{f"train/{k}": v for k, v in self.metrics_host.items()},
-                }
-                self.logger.log_scalars(scalars, it)
-                if show_progress:
-                    msg = ", ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in scalars.items()
-                                    if "loss" in k or "psnr" in k.lower())
-                    print(f"[iter {it}/{max_iter}] {msg} ({dt*1000:.1f} ms/it)")
-                self.watchdog.reset()
-            if it % val_iter == 0 and val_dataset is not None:
-                self.state = state
-                self.validate(val_dataset, step=it)
-            self._checkpoint_triggers(state, it)
+          try:  # worker-fault recovery boundary (see handler below)
+              if occ_enabled and (occ_last_update is None or it - occ_last_update >= occ_every):
+                  arrays["occupancy_grid"] = occ_update_fn(
+                      state.params, jnp.asarray(it, jnp.int32)
+                  )
+                  self._last_occupancy_grid = arrays["occupancy_grid"]
+                  occ_last_update = it
+              n = min(spd, max_iter - it)
+              # Never step across a cadence boundary.
+              to_boundary = cadence - (it % cadence)
+              n = min(n, to_boundary)
+              self._train_max_levels = self.static_max_levels_for(it + n - 1)
+              self.timer.start_iteration()
+              if auto_spd and it > start_iter and (n, self._train_max_levels) in loops:
+                  # Time one real step on an ALREADY-COMPILED program (a
+                  # level-growth retrace would inflate the measurement), with
+                  # a forced sync, then lock the window size.
+                  t0 = time.time()
+                  state, info = run(state, n, rng)
+                  jax.device_get(info["total"])
+                  t_step = max((time.time() - t0) / n, 1e-6)
+                  budget = float(cfg.trainer.get("dispatch_time_budget", 45.0))
+                  spd = max(min(int(budget // t_step), 32, cadence), 1)
+                  auto_spd = False
+                  print(f"[trainer] auto steps_per_dispatch: {t_step:.2f} s/step "
+                        f"-> window {spd} (budget {budget:.0f} s)")
+              else:
+                  state, info = run(state, n, rng)
+              it += n
+              iters_in_window += n
+              self.current_iteration = it
+              self.current_epoch = it * cfg.data.train.batch_size // images_per_epoch
+              if it % min(log_iter, scalar_iter) == 0 or it == max_iter:
+                  info_host = jax.device_get(info)
+                  total = float(info_host["total"])
+                  if not np.isfinite(total):
+                      self.state = state
+                      raise FloatingPointError(
+                          f"Training loss is {total} at iteration {it} — aborting "
+                          f"(NaN/Inf kill-switch, reference: projects/nerf/trainers/base.py:58)."
+                      )
+                  self.losses_host = {k: float(v) for k, v in info_host["losses"].items()}
+                  self.metrics_host = {k: float(v) for k, v in info_host["metrics"].items()}
+                  dt = (time.time() - t_window) / max(iters_in_window, 1)
+                  t_window = time.time()
+                  iters_in_window = 0
+                  scalars = {
+                      "train/total_loss": total,
+                      "train/iter_time": dt,
+                      "train/rays_per_sec": self.num_rand_rays() * cfg.data.train.batch_size / dt,
+                      "optim/lr": float(self.lr_fn(it)),
+                      "train/grad_norm": float(info_host["grad_norm"]),
+                      **{f"train/loss/{k}": v for k, v in self.losses_host.items()},
+                      **{f"train/{k}": v for k, v in self.metrics_host.items()},
+                  }
+                  self.logger.log_scalars(scalars, it)
+                  if show_progress:
+                      msg = ", ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in scalars.items()
+                                      if "loss" in k or "psnr" in k.lower())
+                      print(f"[iter {it}/{max_iter}] {msg} ({dt*1000:.1f} ms/it)")
+                  self.watchdog.reset()
+              if it % val_iter == 0 and val_dataset is not None:
+                  self.state = state
+                  self.validate(val_dataset, step=it)
+              self._checkpoint_triggers(state, it)
+          except Exception as exc:  # noqa: BLE001 - filtered below
+            if (not fr_enabled or recoveries >= fr_max
+                    or not _is_worker_fault(exc)):
+                raise
+            recoveries += 1
+            print(f"[trainer] worker fault caught ({type(exc).__name__}): "
+                  f"{str(exc)[:200]}")
+            self.checkpointer.wait()
+            restored = False
+            try:
+                restored = self.load_checkpoint(None, resume=True)
+            except Exception as load_exc:  # noqa: BLE001
+                print(f"[trainer] recovery load failed: {load_exc!r}")
+            if not restored:
+                print("[trainer] no checkpoint to recover from — re-raising "
+                      "(enable checkpoint.save_latest_iter/save_period for "
+                      "fault tolerance)")
+                raise
+            arrays = {k: jnp.asarray(v) for k, v in arrays_host.items()}
+            occ_last_update = None
+            loops.clear()
+            state = self.state
+            it = self.current_iteration
+            spd = max(spd // 2, 1)
+            auto_spd = False
+            iters_in_window = 0
+            t_window = time.time()
+            self.watchdog.reset()
+            print(f"[trainer] resumed from iteration {it}; "
+                  f"steps_per_dispatch halved to {spd} "
+                  f"(recovery {recoveries}/{fr_max})")
         self.state = state
         self.watchdog.disarm()
         self.checkpointer.wait()
@@ -768,6 +858,7 @@ class BaseTrainer:
             new["ema_params"] = jax.tree.map(jnp.asarray, st["ema_params"])
         self.state = self.state.replace(**new)
         print(f"[checkpoint] loaded {path} (iteration {st.get('iteration')})")
+        self._reshard_state()
         return True
 
     # ------------------------------------------------------------------

@@ -20,6 +20,31 @@ import jax
 import numpy as np
 
 
+def fetch_to_host(tree):
+    """Transfer a pytree to host numpy, gathering cross-host shards.
+
+    ``jax.device_get`` raises on arrays that are not fully addressable from
+    this process (e.g. hash tables row-sharded across hosts by
+    ``runtime.shard_tables`` under ``runtime.multihost``). Those leaves are
+    assembled with a collective ``process_allgather`` instead — which is why
+    this MUST be called from every process (it is: ``Checkpointer.save``
+    runs it before its ``enabled`` gate, so non-main processes participate
+    in the collective even though only process 0 writes the file).
+    """
+    leaves = jax.tree.leaves(tree)
+    if not any(isinstance(x, jax.Array) and not x.is_fully_addressable
+               for x in leaves):
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree.map(fetch, tree)
+
+
 def _flatten_dict(d, prefix=""):
     """Flatten nested dicts AND tuple/list leaves (e.g. per-level hash
     tables) into path -> array entries."""
@@ -77,10 +102,16 @@ class Checkpointer:
         return False
 
     def save(self, state: Dict[str, Any], epoch: int, iteration: int, latest: bool = False):
-        """Snapshot state to disk on a background thread."""
+        """Snapshot state to disk on a background thread.
+
+        The host fetch happens BEFORE the ``enabled`` gate: on multi-host
+        runs with cross-host-sharded state it is a collective
+        (``fetch_to_host``), so every process must reach it — only the file
+        write below is process-0-only.
+        """
+        state_host = fetch_to_host(state)
         if not self.enabled:
             return
-        state_host = jax.device_get(state)
         name = "latest_checkpoint.pkl" if latest else self._checkpoint_name(epoch, iteration)
         payload = dict(state=state_host, epoch=epoch, iteration=iteration)
         self.wait()  # at most one outstanding save

@@ -170,6 +170,12 @@ class Trainer(AngeloTrainer):
                     for key in ("visibility", "inter_mask", "normal_x_light", "pseudo_shading"):
                         save_image(os.path.join(save_path, f"{prefix}{key}.png"),
                                    maps[key + "_map"][0])
+                    # Min-max normalized camera-hit distance map (reference
+                    # projects/NeuralLumen/trainer.py:299-300) — the
+                    # pseudo-label debugging workflow reads it.
+                    dist = maps["inter_dist_map"][0]
+                    save_image(os.path.join(save_path, prefix + "inter_dist.png"),
+                               dist, from_range=(float(dist.min()), float(dist.max())))
                 results = {
                     "normal": maps["normal_map"],
                     "normal_x_light": maps["normal_x_light_map"],

@@ -755,6 +755,35 @@ def main():
             cfg.model.object.sdf.encoding.hashgrid.dict_size = 20
             cfg.model.object.sdf.encoding.hashgrid.dim = 4
 
+        def composed_hf8(cfg):
+            # hessian.fraction 0.25 -> 0.125 on the EXACT-scatter composed
+            # path (the hessian site is a full second encoder pass; halving
+            # its points cuts exact-path scatter rows 25%, gather rows 18% —
+            # r3d static attribution). Round-4 flip candidate after D3's
+            # production-shape failure parked the csamp family.
+            composed(cfg)
+            cfg.model.object.sdf.gradient.hessian.fraction = 0.125
+
+        def composed_hf8_slev4(cfg):
+            # + hierarchical-PDF placement evals truncated to the 4 coarsest
+            # hash levels (exact compositing; placement-only semantics).
+            composed_hf8(cfg)
+            cfg.model.render.sampling_levels = 4
+
+        def composed_auto(cfg):
+            # shared_levels="auto" (share all but the finest active level,
+            # whose taps carry real curvature) + hessian.mode=shared: deletes
+            # the exact-hessian second encoder pass entirely — the biggest
+            # exact-scatter row cut left (-16.8M scatter AND gather rows at
+            # +4.2M each for the unshared finest taps).
+            budget(cfg)
+            cfg.model.object.sdf.gradient.shared_levels = "auto"
+            cfg.model.object.sdf.gradient.hessian.mode = "shared"
+
+        def composed_auto_slev4(cfg):
+            composed_auto(cfg)
+            cfg.model.render.sampling_levels = 4
+
         variants = [
             ("A: exact c64h4 (ref semantics)", exact_c64h4),
             ("B: budget c32h2 exact", budget),
@@ -763,6 +792,10 @@ def main():
             ("D2: composed+cstop1", composed_cstop1),
             ("D3: composed+cstop1-lr3", composed_cstop1_lr3),
             ("E: composed dict20F4 (equal-bytes)", composed_f4),
+            ("F: composed+hf8 (exact)", composed_hf8),
+            ("G: composed+hf8+slev4 (exact)", composed_hf8_slev4),
+            ("H: composed+auto-hshared (exact finest)", composed_auto),
+            ("I: composed+auto+slev4", composed_auto_slev4),
         ]
     elif study == "occ":
         def set_occ(enabled, coarse, hier):

@@ -45,6 +45,10 @@ def main():
 
     pmesh.init_multihost(cfg)
     if not pmesh.is_main_process():
+        # Wait for main instead of returning: a clean exit here while
+        # process 0 is still rendering trips the JAX distributed heartbeat
+        # (coordinator sees a dead peer) and kills the main render.
+        pmesh.sync_processes("inference_done")
         return
     # Inference never loads pseudo labels or re-warm-starts (reference
     # test.py:90-101).
@@ -105,6 +109,7 @@ def main():
     else:
         raise NotImplementedError(mode)
     print(f"Outputs written to {output_dir}")
+    pmesh.sync_processes("inference_done")
 
 
 if __name__ == "__main__":

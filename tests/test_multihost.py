@@ -17,6 +17,18 @@ import pytest
 from mlinerf_tpu.parallel import mesh as pmesh
 
 
+def _free_port() -> str:
+    """OS-assigned free TCP port (bind 0, read back): hardcoded coordinator
+    ports collide when two test sessions run concurrently on one host."""
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return str(port)
+
+
 def test_multihost_disabled_is_noop():
     assert pmesh.init_multihost({"runtime": {}}) is False
     assert pmesh.init_multihost({}) is False
@@ -35,7 +47,7 @@ jax.config.update("jax_platforms", "cpu")
 from mlinerf_tpu.parallel import mesh as pmesh
 
 cfg = {"runtime": {"multihost": {
-    "coordinator_address": "127.0.0.1:47013",
+    "coordinator_address": "127.0.0.1:" + os.environ["MH_TEST_PORT"],
     "num_processes": 1,
     "process_id": 0,
 }}}
@@ -46,7 +58,7 @@ assert pmesh.is_main_process()
 assert pmesh.init_multihost(cfg) is True
 print("MULTIHOST_OK")
 """
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MH_TEST_PORT=_free_port())
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=300,
@@ -93,7 +105,7 @@ jax.config.update("jax_platforms", "cpu")
 from mlinerf_tpu.parallel import mesh as pmesh
 
 cfg = {"runtime": {"multihost": {
-    "coordinator_address": "127.0.0.1:47037",
+    "coordinator_address": "127.0.0.1:" + os.environ["MH_TEST_PORT"],
     "num_processes": 2,
     "process_id": pid,
 }}}
@@ -106,7 +118,7 @@ got = multihost_utils.process_allgather(jnp.asarray([float(pid + 1)]))
 assert got.reshape(-1).tolist() == [1.0, 2.0], got
 print(f"MH2_OK_{pid}")
 """
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MH_TEST_PORT=_free_port())
     env.pop("PALLAS_AXON_POOL_IPS", None)
     cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [subprocess.Popen([sys.executable, "-c", code, str(pid)],
@@ -131,7 +143,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from mlinerf_tpu.parallel import mesh as pmesh
 cfg_mh = {"runtime": {"multihost": {
-    "coordinator_address": "127.0.0.1:47043",
+    "coordinator_address": "127.0.0.1:" + os.environ["MH_TEST_PORT"],
     "num_processes": 2, "process_id": pid}}}
 assert pmesh.init_multihost(cfg_mh) is True
 assert len(jax.local_devices()) == 1, jax.local_devices()
@@ -148,7 +160,7 @@ assert tr.mesh is not None and tr.mesh.devices.size == 2
 tr.train(arrays)
 print(f"MHTRAIN_{pid}_LOSS={float(tr.losses_host['render']):.9f}", flush=True)
 """
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MH_TEST_PORT=_free_port())
     env.pop("PALLAS_AXON_POOL_IPS", None)
     # The suite's conftest forces an 8-device virtual CPU platform via
     # XLA_FLAGS; this test wants ONE local device per process (a true
@@ -171,3 +183,86 @@ print(f"MHTRAIN_{pid}_LOSS={float(tr.losses_host['render']):.9f}", flush=True)
     # Single-process value for this cfg/seed is ~0.61098230; cross-host psum
     # changes reduction order only.
     assert abs(losses[0] - 0.6109823) < 1e-4, losses
+
+
+def test_multihost_sharded_table_checkpoint(tmp_path):
+    """Checkpoint save with runtime.shard_tables under a 2-process mesh.
+
+    The saved state's hash-table rows are sharded ACROSS HOSTS (not fully
+    addressable from process 0), so Checkpointer.save must assemble them
+    with a collective every process reaches (checkpoint.fetch_to_host runs
+    before the ``enabled`` gate) — plain jax.device_get raises here. The
+    written checkpoint must carry FULL-size tables, loadable anywhere."""
+    code = r"""
+import os, sys, tempfile
+pid = int(sys.argv[1])
+logdir = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mlinerf_tpu.parallel import mesh as pmesh
+cfg_mh = {"runtime": {"multihost": {
+    "coordinator_address": "127.0.0.1:" + os.environ["MH_TEST_PORT"],
+    "num_processes": 2, "process_id": pid}}}
+assert pmesh.init_multihost(cfg_mh) is True
+from tests.test_train_e2e import tiny_lumen_cfg
+from mlinerf_tpu.config import resolve
+cfg = tiny_lumen_cfg(tempfile.mkdtemp(), "a", max_iter=2)
+cfg.model.render.rand_rays = 64
+cfg.runtime.mesh = "rays"
+cfg.runtime.shard_tables = True
+# dict 13 = 8192 rows: meets shard_hash_tables' min_rows so the tables
+# really are row-sharded across the two processes.
+cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
+cfg.checkpoint.save_iter = 2
+Dataset = resolve("dataset", cfg.data.type)
+arrays = Dataset(cfg).as_arrays()
+Trainer = resolve("trainer", cfg.trainer.type)
+tr = Trainer(cfg, seed=0, logdir=logdir)
+st = tr.state.params
+leaves = jax.tree.leaves(st)
+assert any(isinstance(x, jax.Array) and not x.is_fully_addressable for x in leaves), \
+    "test precondition: some state must be cross-host sharded"
+tr.train(arrays)
+tr.checkpointer.wait()
+print(f"MHCKPT_OK_{pid}", flush=True)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MH_TEST_PORT=_free_port())
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count"))
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    logdir = str(tmp_path / "mh_ckpt")
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(pid), logdir],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, cwd=cwd, env=env)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for pid, (out, err) in enumerate(outs):
+        assert f"MHCKPT_OK_{pid}" in out, (pid, out, err[-2000:])
+    # Process 0 (and only it) wrote the checkpoint; tables are full-size.
+    from mlinerf_tpu.trainers.checkpoint import Checkpointer
+    path = os.path.join(logdir, "latest_checkpoint.txt")
+    assert os.path.exists(path), os.listdir(logdir)
+    payload = Checkpointer.load_file(path)
+    tables = payload["state"]["params"]
+    import jax
+    import numpy as np
+
+    def table_shapes(node, out):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if "hash_table" in str(k):
+                    for leaf in jax.tree.leaves(v):
+                        out.append(np.shape(leaf))
+                else:
+                    table_shapes(v, out)
+        elif isinstance(node, (tuple, list)):
+            for v in node:
+                table_shapes(v, out)
+        return out
+
+    shapes = table_shapes(tables, [])
+    assert shapes, "no hash tables found in checkpoint"
+    assert any(s[0] == 8192 for s in shapes if len(s) == 2), shapes
