@@ -177,12 +177,16 @@ class Config(AttrDict):
             yaml.safe_dump(self.to_dict(), f, default_flow_style=False, indent=4)
 
     def print_config(self, level: int = 0):
+        # Colored dump like the reference's (imaginaire/config.py:136-143);
+        # utils/console no-ops the ANSI codes on non-tty/NO_COLOR outputs.
+        from mlinerf_tpu.utils.console import cyan, green
+
         for key, value in sorted(self.items()):
             if isinstance(value, dict):
-                print("   " * level + f"* {key}:")
+                print("   " * level + f"* {green(key)}:")
                 Config.print_config(value, level + 1)
             else:
-                print("   " * level + f"* {key}: {value}")
+                print("   " * level + f"* {green(key)}: {cyan(value)}")
 
 
 def parse_cmdline_arguments(args: List[str]) -> Dict[str, Any]:

@@ -142,10 +142,17 @@ class MetricsLogger:
             return
         img_dir = os.path.join(self.logdir, "images", f"{step:09d}")
         os.makedirs(img_dir, exist_ok=True)
+        from mlinerf_tpu.utils.console import get_heatmap
         from mlinerf_tpu.utils.image_io import save_image
 
         for key, img in images.items():
-            save_image(os.path.join(img_dir, key.replace("/", "_") + ".png"), img)
+            arr = np.asarray(img)
+            # Single-channel maps (inv-depth, opacity, visibility) are
+            # colorized like the reference's wandb panels
+            # (imaginaire/utils/visualization.py:29-41).
+            if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] == 1):
+                arr = get_heatmap(arr[..., 0] if arr.ndim == 3 else arr)
+            save_image(os.path.join(img_dir, key.replace("/", "_") + ".png"), arr)
         if self.wandb:
             self.wandb.log({k: self.wandb.Image(np.asarray(v)) for k, v in images.items()}, step=step)
         if self.tb:
@@ -731,6 +738,8 @@ class BaseTrainer:
                   total = float(info_host["total"])
                   if not np.isfinite(total):
                       self.state = state
+                      from mlinerf_tpu.utils.console import alert
+                      alert(f"Training loss is {total} at iteration {it}")
                       raise FloatingPointError(
                           f"Training loss is {total} at iteration {it} — aborting "
                           f"(NaN/Inf kill-switch, reference: projects/nerf/trainers/base.py:58)."
