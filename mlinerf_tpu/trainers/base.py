@@ -1079,7 +1079,12 @@ class BaseTrainer:
         """Validation loop: render, compute losses/PSNR, log images."""
         image_size = self.cfg.data.val.image_size
         psnrs = []
+        comp_psnrs = {}  # intrinsic-component PSNR vs GT iid maps
         logged_images = {}
+
+        def _psnr(a, b):
+            return -10 * np.log10(np.mean((a - b) ** 2) + 1e-12)
+
         for i in range(min(len(val_dataset), max_samples)):
             sample = val_dataset[i]
             data = {k: np.asarray(v)[None] for k, v in sample.items() if not np.isscalar(v)}
@@ -1087,14 +1092,33 @@ class BaseTrainer:
             maps = self.inference_outputs(data, image_size)
             gt = np.asarray(sample["image"])  # [H,W,3]
             pred = maps["rgb_map"][0]
-            p = -10 * np.log10(np.mean((pred - gt) ** 2) + 1e-12)
-            psnrs.append(p)
+            psnrs.append(_psnr(pred, gt))
+            # Component PSNR when the dataset carries GT intrinsics
+            # (data.*.load_iid — synthetic scenes and the Blender iid
+            # loader). The reference scores Reflectance directly and
+            # Shading gamma-corrected 1/2.2 (compute_metrics.py:38-112).
+            if "Ref" in sample and "o_r_map" in maps:
+                comp_psnrs.setdefault("psnr_ref", []).append(
+                    _psnr(maps["o_r_map"][0], np.asarray(sample["Ref"])))
+            if "Sha" in sample and "o_s_map" in maps:
+                sha_pred = np.clip(maps["o_s_map"][0], 0, 1) ** (1 / 2.2)
+                sha_gt = np.clip(np.asarray(sample["Sha"]), 0, 1) ** (1 / 2.2)
+                if sha_gt.ndim == 2:
+                    sha_gt = sha_gt[..., None]
+                if sha_pred.shape[-1] != sha_gt.shape[-1]:
+                    sha_pred = sha_pred.mean(-1, keepdims=True)
+                    sha_gt = sha_gt.mean(-1, keepdims=True)
+                comp_psnrs.setdefault("psnr_sha", []).append(_psnr(sha_pred, sha_gt))
             if i == 0:
                 logged_images["val/rgb_render"] = pred
                 logged_images["val/rgb_target"] = gt
                 if "normal_map" in maps:
                     logged_images["val/normal"] = maps["normal_map"][0] * 0.5 + 0.5
-        self.logger.log_scalars({"val/psnr": float(np.mean(psnrs))}, step)
+        scalars = {"val/psnr": float(np.mean(psnrs))}
+        scalars.update({f"val/{k}": float(np.mean(v)) for k, v in comp_psnrs.items()})
+        self.logger.log_scalars(scalars, step)
         self.logger.log_images(logged_images, step)
-        print(f"[val @ {step}] PSNR = {np.mean(psnrs):.2f} dB")
+        comp_msg = "".join(f", {k.split('_')[1]} {np.mean(v):.2f}"
+                           for k, v in sorted(comp_psnrs.items()))
+        print(f"[val @ {step}] PSNR = {np.mean(psnrs):.2f} dB{comp_msg}")
         return float(np.mean(psnrs))

@@ -49,23 +49,28 @@ def _shape_bytes(shape_str: str) -> int:
 
 
 def collective_bytes(hlo_text: str):
-    """Sum output bytes of every cross-replica collective instruction."""
+    """Sum output bytes of every cross-replica collective instruction.
+
+    Instruction lines look like
+      %all-reduce.30 = (f32[1,256]{1,0}, f32[256,294]{1,0}, ...) all-reduce(...)
+    — the op name re-appears after the (possibly tuple) result shape; shape
+    tokens carry {layout} suffixes and /*index=N*/ comments.
+    """
     out = {k: {"ops": 0, "bytes": 0} for k in _COLLECTIVES}
+    op_re = re.compile(r"\b(" + "|".join(_COLLECTIVES) + r")(?:-start)?(?:\.\d+)?\(")
+    shape_re = re.compile(r"\w+\[[\d,]*\]")
     for line in hlo_text.splitlines():
         s = line.strip()
-        # HLO instruction lines look like:  %name = f32[16,8]{...} all-reduce(...)
-        m = re.match(r"%?[\w.\-]+ = \(?([\w\[\],\s]+?)\)?\{?[^=]*?\b(" +
-                     "|".join(_COLLECTIVES) + r")\b", s)
+        eq = s.find(" = ")
+        if eq < 0:
+            continue
+        m = op_re.search(s, eq)
         if not m:
             continue
-        shapes, kind = m.groups()
-        b = sum(_shape_bytes(p.strip()) for p in shapes.split(")")[0].split(",")
-                if "[" in p)
-        # tuple shapes: f32[a], f32[b] — _shape_bytes handles each piece.
-        if b == 0:
-            b = sum(_shape_bytes(p) for p in re.findall(r"\w+\[[\d,]*\]", shapes))
+        kind = m.group(1)
+        shapes = shape_re.findall(s[eq:m.start()])
         out[kind]["ops"] += 1
-        out[kind]["bytes"] += b
+        out[kind]["bytes"] += sum(_shape_bytes(p) for p in shapes)
     return {k: v for k, v in out.items() if v["ops"]}
 
 

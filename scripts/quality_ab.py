@@ -32,7 +32,7 @@ import jax
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
-def base_cfg(tmp, iters):
+def base_cfg(tmp, iters, base=None):
     from mlinerf_tpu.config import Config
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,14 +40,14 @@ def base_cfg(tmp, iters):
     # 64x64 mirror (syn_sphere_a); AB_STUDY=prodscale uses
     # syn_prodscale_a.yaml (production model shape, 256x256 cluttered scene)
     # and keeps that config's own sizes.
-    base = os.environ.get("AB_BASE_CONFIG", "syn_sphere_a.yaml")
+    base = base or os.environ.get("AB_BASE_CONFIG", "syn_sphere_a.yaml")
     cfg = Config(os.path.join(here, "configs", base))
     cfg.max_iter = iters
     cfg.logging_iter = min(iters, 500)
     cfg.validation_iter = 10**9
     cfg.checkpoint.save_iter = 10**9
     cfg.checkpoint.save_latest_iter = 10**9
-    if base == "syn_sphere_a.yaml":
+    if base.startswith("syn_sphere_"):  # _a and the stage-b twin alike
         cfg.model.render.rand_rays = 256
         cfg.model.render.rand_rays_val = 2048
         cfg.data.train.image_size = [64, 64]
@@ -81,6 +81,80 @@ def run_variant(name, mutate, iters):
     tr.train(arrays)
     val_ds = Dataset(cfg, is_inference=True)
     psnr = tr.validate(val_ds, cfg.max_iter, max_samples=3)
+    jax.clear_caches()
+    return psnr
+
+
+def run_stageb_variant(name, mutate, iters):
+    """Self-contained two-stage arm: stage-a train -> per-(cam,light) light
+    renders -> pseudo-label pipeline -> stage-b train (warm start, partial
+    training, intrinsic losses) -> RGB + Reflectance/Shading component PSNR
+    against the procedural scene's analytic GT (data.val.load_iid).
+
+    Composes with any study via AB_STAGEB=1: the study's mutator shapes BOTH
+    stages (the encoder must match for the warm start), so a cell prices a
+    knob's effect on the INTRINSIC decomposition, pseudo-label noise
+    included — the reference scores Ref/Sha too (compute_metrics.py:38-112).
+    AB_ITERS_B overrides the stage-b length (default: iters // 2).
+    """
+    import numpy as np
+
+    from mlinerf_tpu.config import resolve
+
+    tmp = f"/tmp/quality_ab_b/{name.replace(' ', '_').replace(':', '')}"
+    a_dir = os.path.join(tmp, "a")
+    os.makedirs(a_dir, exist_ok=True)
+    seed = int(os.environ.get("AB_SEED", 0))
+
+    # ---- stage a
+    cfg = base_cfg(a_dir, iters)
+    mutate(cfg)
+    Dataset = resolve("dataset", cfg.data.type)
+    arrays = Dataset(cfg).as_arrays()
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, seed=seed, logdir=a_dir)
+    print(f"=== {name} [stage a] ===", flush=True)
+    tr.train(arrays)
+    tr.save_checkpoint()
+    tr.checkpointer.wait()
+
+    # ---- pseudo labels (the production route: rendered visibility/shading
+    # proxies cross-referenced over lights)
+    from mlinerf_tpu.pipelines.pseudo_label import generate_pseudo_labels
+
+    ds_full = Dataset(cfg)
+    if hasattr(ds_full, "sample_train_rays"):
+        ds_full.sample_train_rays = False
+    lights_dir = os.path.join(a_dir, "lights")
+    results = tr.test_all_light(ds_full, lights_dir, mode="train",
+                                dataset_type="unpair", sample_num=4,
+                                seed=999, save_pngs=False)
+    labels_dir = os.path.join(a_dir, "labels")
+    os.makedirs(labels_dir, exist_ok=True)
+    generate_pseudo_labels(results, "unpair", labels_dir)
+    label_path = os.path.join(labels_dir, "pseudo_label_all.npz")
+    print(f"[stage b] pseudo labels at {label_path}", flush=True)
+
+    # ---- stage b
+    iters_b = int(os.environ.get("AB_ITERS_B", max(iters // 2, 1)))
+    base_b = os.environ.get("AB_BASE_CONFIG", "syn_sphere_a.yaml").replace(
+        "_a.yaml", "_b.yaml")
+    b_dir = os.path.join(tmp, "b")
+    cfgb = base_cfg(b_dir, iters_b, base=base_b)
+    mutate(cfgb)
+    cfgb.max_iter = iters_b
+    cfgb.model.use_pre_trained.pt_filename = os.path.join(
+        a_dir, "latest_checkpoint.txt")
+    plc = cfgb.data.train.pseudo_label
+    plc.enabled = True
+    plc.pt_file = label_path
+    cfgb.data.val.load_iid = True
+    arrays_b = Dataset(cfgb).as_arrays()
+    trb = Trainer(cfgb, seed=seed, logdir=b_dir)
+    print(f"=== {name} [stage b] ===", flush=True)
+    trb.train(arrays_b)
+    val_ds = Dataset(cfgb, is_inference=True)
+    psnr = trb.validate(val_ds, cfgb.max_iter, max_samples=3)
     jax.clear_caches()
     return psnr
 
@@ -830,8 +904,9 @@ def main():
             return name == k[:-1] if k.endswith("$") else k in name
 
         variants = [(n, m) for n, m in variants if any(_match(n, k) for k in keys)]
+    runner = run_stageb_variant if os.environ.get("AB_STAGEB") else run_variant
     for name, mutate in variants:
-        run_variant(name, mutate, iters)
+        runner(name, mutate, iters)
     print("DONE", flush=True)
 
 
