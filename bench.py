@@ -113,9 +113,9 @@ def build_bench_cfg():
     #               800 iters; convergence re-judge queued) — opt-in only.
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
     e = cfg.model.object.sdf.encoding
-    if named in ("budget", "lvl12", "composed", "composed12", "composed12f8",
-                 "composed12topk", "composedcs", "composedcs17",
-                 "composedcstop1", "composedcstop1f4"):
+    if named in ("budget", "lvl12", "composed", "composedhf8", "composedauto",
+                 "composed12", "composed12f8", "composed12topk", "composedcs",
+                 "composedcs17", "composedcstop1", "composedcstop1f4"):
         e.hashgrid.dict_size = 17 if named == "composedcs17" else 19
         cfg.model.render.num_samples.coarse = 32
         cfg.model.render.num_sample_hierarchy = 2
@@ -125,14 +125,22 @@ def build_bench_cfg():
             # BENCH_SHARED_LEVELS=auto overrides the composed family's
             # all-shared default (shared=L-1, taps carry real finest-level
             # curvature, no exact-hessian pass — the r3e auto re-judge).
-            if shared == "auto":
+            # composedauto: that same point as a named config (2677.4 rays/s
+            # measured round 4; gate = prodscale H).
+            if shared == "auto" or named == "composedauto":
                 cfg.model.object.sdf.gradient.shared_levels = "auto"
                 cfg.model.object.sdf.gradient.hessian.mode = "shared"
             else:
                 cfg.model.object.sdf.gradient.shared_levels = e.levels
                 cfg.model.object.sdf.gradient.hessian.mode = "exact"
+                # composedhf8: the round-4 exact-ladder step — hessian
+                # fraction 0.25 -> 0.125 (the exact-tap hessian site is a
+                # full second encoder pass; halving its points cut the
+                # measured step 1905.7 -> 2373.4 rays/s). Quality: 3-seed
+                # L12 gate (round 2) + prodscale F arm (round 4).
                 cfg.model.object.sdf.gradient.hessian.fraction = (
-                    0.125 if named in ("composed12f8", "composed12topk") else 0.25)
+                    0.125 if named in ("composedhf8", "composed12f8",
+                                       "composed12topk") else 0.25)
         if named.startswith("composedcs"):
             # Corner-sampled backward table scatter on the L16 composed
             # shape (ops/hashgrid.corner_sampled_combine; gates r2m/r2n,
