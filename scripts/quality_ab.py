@@ -61,6 +61,13 @@ def base_cfg(tmp, iters, base=None):
         cfg.data.scene = os.environ.get("AB_SCENE", "sphere")
     elif "AB_SCENE" in os.environ:
         cfg.data.scene = os.environ["AB_SCENE"]
+    # AB_IMAGE_SIZE=512: square image-size override (e.g. the 512x512
+    # prodscale arm — the reference's synthetic resolution,
+    # syn_hotdog_a.yaml:15-17).
+    if "AB_IMAGE_SIZE" in os.environ:
+        hw = int(os.environ["AB_IMAGE_SIZE"])
+        cfg.data.train.image_size = [hw, hw]
+        cfg.data.val.image_size = [hw, hw]
     return cfg
 
 

@@ -46,3 +46,11 @@ ab r4_stageb_CF_s0.log AB_STUDY=prodscale AB_STAGEB=1 AB_ITERS=2000 AB_ITERS_B=1
    AB_SEED=0 AB_BASE_CONFIG=syn_sphere_a.yaml AB_VARIANTS="C:,F:"
 
 echo "QUEUE_R4C DONE $(date +%H:%M:%S)"
+
+# 512x512 prodscale arm (verdict item 6): the reference's synthetic
+# resolution at the production model shape — control B + candidate F
+# in-cell (B is the cheapest exact control).
+ab r4_prodscale512_BF_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 \
+   AB_IMAGE_SIZE=512 AB_VARIANTS="B:,F:"
+
+echo "QUEUE_R4C TAIL DONE $(date +%H:%M:%S)"
