@@ -113,6 +113,15 @@ def build_bench_cfg():
     #               800 iters; convergence re-judge queued) — opt-in only.
     named = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG)
     e = cfg.model.object.sdf.encoding
+    # Round-4 exact-ladder composites (flip candidates; suffixes compose:
+    # "blk" = dense_blocked (EXACT, no gate), "slev4" = sampling_levels 4
+    # (prodscale G/I gates), base "hf8"/"auto" per their own gates):
+    if named in ("composedhf8blk", "composedhf8slev4blk",
+                 "composedautoblk", "composedautoslev4blk"):
+        if "slev4" in named:
+            cfg.model.render.sampling_levels = 4
+        cfg.model.object.sdf.encoding.hashgrid.dense_blocked = True
+        named = "composedauto" if named.startswith("composedauto") else "composedhf8"
     if named in ("budget", "lvl12", "composed", "composedhf8", "composedauto",
                  "composed12", "composed12f8", "composed12topk", "composedcs",
                  "composedcs17", "composedcstop1", "composedcstop1f4"):
