@@ -116,12 +116,14 @@ def build_bench_cfg():
     # Round-4 exact-ladder composites (flip candidates; suffixes compose:
     # "blk" = dense_blocked (EXACT, no gate), "slev4" = sampling_levels 4
     # (prodscale G/I gates), base "hf8"/"auto" per their own gates):
-    if named in ("composedhf8blk", "composedhf8slev4blk",
+    if named in ("composedblk", "composedhf8blk", "composedhf8slev4blk",
                  "composedautoblk", "composedautoslev4blk"):
         if "slev4" in named:
             cfg.model.render.sampling_levels = 4
         cfg.model.object.sdf.encoding.hashgrid.dense_blocked = True
-        named = "composedauto" if named.startswith("composedauto") else "composedhf8"
+        named = ("composedauto" if named.startswith("composedauto")
+                 else "composedhf8" if named.startswith("composedhf8")
+                 else "composed")
     if named in ("budget", "lvl12", "composed", "composedhf8", "composedauto",
                  "composed12", "composed12f8", "composed12topk", "composedcs",
                  "composedcs17", "composedcstop1", "composedcstop1f4"):
