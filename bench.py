@@ -31,17 +31,18 @@ import time
 BASELINE_RAYS_PER_SEC = 18_000.0
 
 # Which named config the bench measures when BENCH_CONFIG is unset.
-# "composed" (dict19 capacity split + 32+2x16 sample budget + all-shared
-# stencil + exact strided hessian f=0.25): 1905.7 rays/s measured on the
-# chip (re-confirmed 1905.5 in a fresh process), and the fastest
-# configuration whose convergence-length (2000-iter) quality gates passed
-# at every measured seed (-0.13/-0.08/-0.13 dB at seeds 1/0/3, in-cell
-# controls) on top of per-knob gates — PERF.md. composed12* measured faster
-# (2522.6 / 3134.2 rays/s) but the L16 -> L12 cut FAILED its seed-3 sphere
-# gate (-0.45 vs control where the L16 mirror costs its usual -0.13), so
-# they stay opt-in. composedcs* (corner-sampled backward scatter) are the
-# round-2 continuation candidates, gated by queues r2m/r2n.
-DEFAULT_CONFIG = "composed"
+# "composedblk" = the fully-gated round-2/3 "composed" semantics (dict19
+# capacity split + 32+2x16 sample budget + all-shared stencil + exact
+# strided hessian f=0.25; every delta's 2000-iter multi-seed gate in
+# PERF.md) PLUS blocked-corner storage on dense levels — an EXACT,
+# bitwise-parity-tested layout restructure (tests/test_sharding.py,
+# tests/test_hashgrid.py) with no quality gate to clear. 2264.6 rays/s
+# measured round 4 (composed itself: 1905.7). The faster ladder points
+# (composedhf8blk 2373+, composedhf8slev4blk 3305.7, composedauto*) flip
+# in as their prodscale F/G/H/I production-shape gates land — the csamp
+# family (top1cot+lr3, 2703 measured) was REJECTED at production shape
+# (prodscale D3: -0.76 dB) and stays opt-in.
+DEFAULT_CONFIG = "composedblk"
 
 
 def build_bench_cfg():
