@@ -717,15 +717,27 @@ class BaseTrainer:
               if auto_spd and it > start_iter and (n, self._train_max_levels) in loops:
                   # Time one real step on an ALREADY-COMPILED program (a
                   # level-growth retrace would inflate the measurement), with
-                  # a forced sync, then lock the window size.
+                  # a forced sync, then lock the window size. The wall time
+                  # of a 1-step window is intercept + slope: on the remote
+                  # tunnel the per-DISPATCH intercept is seconds to tens of
+                  # seconds, so sizing from the raw wall time collapses the
+                  # window to 1 and throughput with it. Measure the
+                  # intercept with a trivial dispatch round-trip and
+                  # subtract it — the budget governs DEVICE time per window
+                  # (the worker-fault boundary tracks execution time).
+                  t0 = time.time()
+                  jax.device_get(jax.jit(lambda x: x + 1)(jnp.zeros(())))
+                  intercept = time.time() - t0
                   t0 = time.time()
                   state, info = run(state, n, rng)
                   jax.device_get(info["total"])
-                  t_step = max((time.time() - t0) / n, 1e-6)
+                  t_window = time.time() - t0
+                  t_step = max((t_window - intercept) / n, 1e-6)
                   budget = float(cfg.trainer.get("dispatch_time_budget", 45.0))
                   spd = max(min(int(budget // t_step), 32, cadence), 1)
                   auto_spd = False
                   print(f"[trainer] auto steps_per_dispatch: {t_step:.2f} s/step "
+                        f"(+{intercept:.2f} s dispatch intercept) "
                         f"-> window {spd} (budget {budget:.0f} s)")
               else:
                   state, info = run(state, n, rng)
