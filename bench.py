@@ -38,11 +38,17 @@ BASELINE_RAYS_PER_SEC = 18_000.0
 # bitwise-parity-tested layout restructure (tests/test_sharding.py,
 # tests/test_hashgrid.py) with no quality gate to clear. 2264.6 rays/s
 # measured round 4 (composed itself: 1905.7). The faster ladder points
-# (composedhf8blk 2373+, composedhf8slev4blk 3305.7, composedauto*) flip
-# in as their prodscale F/G/H/I production-shape gates land — the csamp
-# family (top1cot+lr3, 2703 measured) was REJECTED at production shape
-# (prodscale D3: -0.76 dB) and stays opt-in.
-DEFAULT_CONFIG = "composedblk"
+# (composedhf8slev4blk 3305.7, composedauto*) flip in as their prodscale
+# G/H/I production-shape gates land — the csamp family (top1cot+lr3, 2703
+# measured) was REJECTED at production shape (prodscale D3: -0.76 dB) and
+# stays opt-in.
+#
+# "composedhf8blk" = composedblk + hessian fraction 0.25 -> 0.125. The hf8
+# step is gated TWICE: the 3-seed toy pass at L12 (round 2) and prodscale
+# F at full production shape (21.66 dB vs A 21.73 / C 21.71 — round 4,
+# docs/round4_evidence/ab_logs/r4_prodscale_F_s0.log). Components measured
+# separately: hf8 2373.4, blk-on-composed 2264.6 (1905.7 base).
+DEFAULT_CONFIG = "composedhf8blk"
 
 
 def build_bench_cfg():
