@@ -43,12 +43,16 @@ BASELINE_RAYS_PER_SEC = 18_000.0
 # measured) was REJECTED at production shape (prodscale D3: -0.76 dB) and
 # stays opt-in.
 #
-# "composedhf8blk" = composedblk + hessian fraction 0.25 -> 0.125. The hf8
-# step is gated TWICE: the 3-seed toy pass at L12 (round 2) and prodscale
-# F at full production shape (21.66 dB vs A 21.73 / C 21.71 — round 4,
-# docs/round4_evidence/ab_logs/r4_prodscale_F_s0.log). Components measured
-# separately: hf8 2373.4, blk-on-composed 2264.6 (1905.7 base).
-DEFAULT_CONFIG = "composedhf8blk"
+# "composedhf8slev4blk" = composed + hessian fraction 0.125 (hf8) +
+# sampling_levels 4 (slev4) + blocked dense storage (blk). 3305.7 rays/s
+# MEASURED (docs/round4_evidence/bench_logs/r4_comp_hf8_slev4_blk.log) =
+# 1.73x the round-3 default. Gate chain, all at FULL production shape
+# (prodscale, 256x256 cluttered, 3000 iters, vs A = exact reference
+# semantics at 21.73 dB): B budget +0.01, C stencil+hessian -0.02,
+# F hf8 -0.07, G hf8+slev4 +0.02; blk is an exact bitwise-parity-tested
+# storage restructure (no gate needed). Per-knob toy multi-seed gates in
+# the round-2/3 ledger back the same knobs.
+DEFAULT_CONFIG = "composedhf8slev4blk"
 
 
 def build_bench_cfg():
