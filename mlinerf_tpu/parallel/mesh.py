@@ -139,6 +139,40 @@ def shard_rays_tree(mesh: Optional[Mesh], batch: Dict, ray_axis_keys: Iterable[s
     return out
 
 
+def partial_grad_specs(mesh: Optional[Mesh], batch: Dict,
+                       ray_axis_keys: Iterable[str] = ()):
+    """PartitionSpecs for the batch under the shard_map partial-grad layout.
+
+    ``runtime.grad_psum`` (see trainers/base.py) computes table gradients
+    per-device from the local ray shard and combines them with one
+    ``pmean`` — the explicit DDP layout the reference gets from NCCL
+    all-reduce (imaginaire/trainers/utils/get_trainer.py:80-88). Under the
+    default constraint layout XLA instead all-gathers the scatter OPERANDS
+    (~1.26 GB/step at the bench shape, PERF.md round 4); this layout moves
+    only the summed table gradient (~268 MB fp32 at d19) — the 5-10x comm
+    cut identified there.
+
+    Returns a spec pytree matching ``batch`` (ray-axis entries split over
+    the mesh, everything else replicated), or None when the ray count does
+    not divide the mesh — the caller falls back to the constraint layout.
+    """
+    if mesh is None:
+        return None
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    ray_axis_keys = set(ray_axis_keys)
+    specs = {}
+    for key, value in batch.items():
+        is_ray = key in ray_axis_keys or key.endswith("_sampled")
+        if is_ray:
+            if getattr(value, "ndim", 0) < 2 or value.shape[1] % n != 0:
+                return None  # all-or-nothing: mixed ray counts can't split
+            specs[key] = P(*([None, axis] + [None] * (value.ndim - 2)))
+        else:
+            specs[key] = P()
+    return specs
+
+
 def replicate(mesh: Optional[Mesh], tree):
     """Mark a pytree fully replicated over the mesh."""
     if mesh is None:

@@ -520,9 +520,62 @@ class BaseTrainer:
                         total = total + weights[key] * value
                 return total, (loss_dict, metric_dict)
 
-            (total, (loss_dict, metric_dict)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(trainable0)
+            grad_specs = None
+            if cfg.get("runtime", {}).get("grad_psum") and self.mesh is not None:
+                grad_specs = pmesh.partial_grad_specs(
+                    self.mesh, batch, ray_axis_keys=("ray_idx",)
+                )
+            if grad_specs is not None:
+                # Explicit DDP layout (runtime.grad_psum): each device runs
+                # the loss/grad on its LOCAL ray shard against replicated
+                # params and the grads are combined with one pmean — the
+                # per-GPU semantics of the reference's NCCL DDP
+                # (get_trainer.py:80-88). vs the default constraint layout
+                # this trades the partitioner's 1.26 GB/step scatter-operand
+                # all-gathers for a ~268 MB table-grad all-reduce (PERF.md
+                # round 4). Per-device rng is fold_in(axis_index) — jitter is
+                # statistically identical but not bitwise vs the global
+                # program (exact when model.render.stratified is off).
+                # Normalization-coupled losses (weighted_shading/intrinsic)
+                # normalize per-shard, exactly as per-GPU DDP does.
+                axis = self.mesh.axis_names[0]
+                from jax.sharding import PartitionSpec as _P
+
+                def _local_grad(trainable, lbatch, key):
+                    key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+                    def local_loss(t):
+                        params = (
+                            optim_lib.merge_params(t, frozen)
+                            if frozen is not None else t
+                        )
+                        output = self.model.apply(
+                            {"params": params}, lbatch, cond, key, train=True
+                        )
+                        ld, md = self.compute_loss(output, lbatch, mode="train")
+                        tot = jnp.zeros((), jnp.float32)
+                        for k, v in ld.items():
+                            if k in weights:
+                                tot = tot + weights[k] * v
+                        return tot, (ld, md)
+
+                    (tot, aux), g = jax.value_and_grad(
+                        local_loss, has_aux=True
+                    )(trainable)
+                    pm = lambda t: jax.tree.map(
+                        lambda x: jax.lax.pmean(x, axis), t)
+                    return pm(tot), pm(aux), pm(g)
+
+                total, (loss_dict, metric_dict), grads = jax.shard_map(
+                    _local_grad, mesh=self.mesh,
+                    in_specs=(_P(), grad_specs, _P()),
+                    out_specs=(_P(), _P(), _P()),
+                    check_vma=False,
+                )(trainable0, batch, k_render)
+            else:
+                (total, (loss_dict, metric_dict)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(trainable0)
             updates, new_opt_state = self.tx.update(grads, state.opt_state, trainable0)
             # Cast updates to the param dtype: fp32 optimizer math over bf16
             # tables must not promote the stored parameters.

@@ -18,7 +18,8 @@ Usage:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python scripts/analyze_multichip.py
 Env: AMC_DICT (default 15 for compile speed; 19 = bench shape),
-     AMC_SIZES (default "1,2,4,8"), AMC_SHARD_TABLES=1 (ZeRO mode).
+     AMC_SIZES (default "1,2,4,8"), AMC_SHARD_TABLES=1 (ZeRO mode),
+     AMC_GRAD_PSUM=1 (explicit DDP shard_map layout, runtime.grad_psum).
 """
 
 import json
@@ -90,9 +91,12 @@ def main():
     cfg.data.val.image_size = [64, 64]
     if os.environ.get("AMC_SHARD_TABLES"):
         cfg.runtime.shard_tables = True
+    if os.environ.get("AMC_GRAD_PSUM"):
+        cfg.runtime.grad_psum = True
 
     results = {"dict_size": dict_size, "config": os.environ["BENCH_CONFIG"],
                "shard_tables": bool(os.environ.get("AMC_SHARD_TABLES")),
+               "grad_psum": bool(os.environ.get("AMC_GRAD_PSUM")),
                "rand_rays": int(cfg.model.render.rand_rays), "mesh": {}}
     for n in sizes:
         if n > len(jax.devices()):
