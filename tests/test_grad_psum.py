@@ -60,6 +60,19 @@ def test_grad_psum_runs_stratified(tmp_path):
     assert np.isfinite(tr.losses_host["render"])
 
 
+def test_grad_psum_bf16_wire_runs(tmp_path):
+    """grad_psum: "bf16" combines grads in bf16 on the wire — must train
+    with finite losses and stay close to the fp32 combine."""
+    results = {}
+    for mode in (True, "bf16"):
+        cfg = _cfg(tmp_path, max_iter=2, stratified=False)
+        cfg.runtime.grad_psum = mode
+        tr = _train(cfg, tmp_path, f"gpb_{mode}")
+        results[mode] = tr.losses_host["render"]
+    assert np.isfinite(results["bf16"])
+    np.testing.assert_allclose(results[True], results["bf16"], rtol=5e-2)
+
+
 def test_grad_psum_non_divisible_falls_back(tmp_path):
     """63 rays % 8 devices != 0 -> partial_grad_specs returns None and the
     step silently uses the constraint layout."""
