@@ -43,16 +43,20 @@ BASELINE_RAYS_PER_SEC = 18_000.0
 # measured) was REJECTED at production shape (prodscale D3: -0.76 dB) and
 # stays opt-in.
 #
-# "composedhf8slev4blk" = composed + hessian fraction 0.125 (hf8) +
-# sampling_levels 4 (slev4) + blocked dense storage (blk). 3305.7 rays/s
-# MEASURED (docs/round4_evidence/bench_logs/r4_comp_hf8_slev4_blk.log) =
-# 1.73x the round-3 default. Gate chain, all at FULL production shape
-# (prodscale, 256x256 cluttered, 3000 iters, vs A = exact reference
-# semantics at 21.73 dB): B budget +0.01, C stencil+hessian -0.02,
-# F hf8 -0.07, G hf8+slev4 +0.02; blk is an exact bitwise-parity-tested
-# storage restructure (no gate needed). Per-knob toy multi-seed gates in
+# "composedautoslev4blk" = composed + auto-hshared stencil (share all but
+# the finest level, hessian pass deleted — taps carry REAL finest-level
+# curvature) + sampling_levels 4 (slev4) + blocked dense storage (blk).
+# 3664.4 rays/s MEASURED (docs/round4_evidence/bench_logs/
+# r4_comp_auto_slev4_blk.log) = 1.92x the round-3 default. Gate chain,
+# all at FULL production shape (prodscale, 256x256 cluttered, 3000
+# iters, vs A = exact reference semantics at 21.73 dB): B budget +0.01,
+# C stencil+hessian -0.02, H auto-hshared -0.02, I auto+slev4 +0.06
+# (docs/round4_evidence/ab_logs/r4_prodscale_I_s0.log); blk is an exact
+# bitwise-parity-tested storage restructure (no gate needed). The
+# hf8-family fallback ("composedhf8slev4blk", 3305.7, gates F -0.07 /
+# G +0.02) remains one env var away. Per-knob toy multi-seed gates in
 # the round-2/3 ledger back the same knobs.
-DEFAULT_CONFIG = "composedhf8slev4blk"
+DEFAULT_CONFIG = "composedautoslev4blk"
 
 
 def build_bench_cfg():
