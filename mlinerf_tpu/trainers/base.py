@@ -1085,15 +1085,17 @@ class BaseTrainer:
         # Windowed dispatches: `runtime.inference_chunks_per_dispatch` chunks
         # render per dispatched program (lax.map over the window), amortizing
         # the per-dispatch host latency the same way the scanned train windows
-        # do. "auto" (the default) applies the validated 4-chunk window for
-        # chunks <= 4096 rays (+25% over the per-chunk loop, PERF.md
-        # inference table) and falls back to the per-chunk loop for larger
-        # chunks (8192-ray chunks OOM when windowed). An explicit int forces
-        # that window; 1 = the per-chunk loop (the all-chunks lax.map faults
-        # some TPU runtimes at production size — see PERF.md).
+        # do. "auto" (the default) applies a 32-chunk window for chunks
+        # <= 4096 rays (r4d ladder at the shipped default, 512x512
+        # production shape: w8 63.3k / w16 62.1k / w32 71.0k rays/s —
+        # docs/round4_evidence/bench_logs/r4_inf_w*.log; no fault, no OOM)
+        # and falls back to the per-chunk loop for larger chunks (8192-ray
+        # chunks OOM when windowed). An explicit int forces that window;
+        # 1 = the per-chunk loop (the all-chunks lax.map faults some TPU
+        # runtimes at production size — see PERF.md).
         wc_cfg = self.cfg.get("runtime", {}).get("inference_chunks_per_dispatch")
         if wc_cfg in (None, "auto"):
-            wc = 4 if num_rays_chunk <= 4096 else 1
+            wc = 32 if num_rays_chunk <= 4096 else 1
         else:
             wc = int(wc_cfg)
         if wc > 1:
