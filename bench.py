@@ -426,6 +426,28 @@ def measure(steps_per_dispatch: int) -> None:
         except Exception as exc:  # noqa: BLE001 - report, keep train number
             import sys
             sys.stderr.write(f"[bench] render measurement failed: {exc!r}\n")
+    # Roofline (round-4 verdict item 3): price every gather/scatter row of
+    # the ACTIVE config at its measured v5e tier rate (per-row latency
+    # bound; scripts/attribute_rows.py) and report measured/attainable.
+    # Fault-isolated subprocess on CPU — tracing never executes, so the
+    # count is free at any dict size.
+    attainable = None
+    if not os.environ.get("BENCH_SKIP_ROOFLINE"):
+        try:
+            import subprocess
+            import sys as _sys
+            env = dict(os.environ, JAX_PLATFORMS="cpu", ATTR_SMALL="1")
+            env.pop("BENCH_AS_CHILD", None)
+            out = subprocess.run(
+                [_sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "attribute_rows.py"), "--json"],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+            attainable = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # noqa: BLE001
+            import sys
+            sys.stderr.write(f"[bench] roofline attribution failed: {exc!r}\n")
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -436,6 +458,14 @@ def measure(steps_per_dispatch: int) -> None:
         # without knowing to halve vs_baseline (round-3 verdict item 7).
         "vs_target_2x_a100": round(rays_per_sec / (2 * BASELINE_RAYS_PER_SEC), 3),
         "render_rays_per_sec": render_rays_per_sec,
+        # measured / attainable at the active config's row counts and the
+        # measured per-row tier rates (PERF.md "Speed of light"): how much
+        # of what this chip+toolchain can physically do the step achieves.
+        "attainable_rays_per_sec": (
+            round(attainable["attainable_rays_per_sec"], 1) if attainable else None),
+        "vs_attainable": (
+            round(rays_per_sec / attainable["attainable_rays_per_sec"], 3)
+            if attainable else None),
         "config": os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG),
         "semantics_delta_vs_reference": delta or "none (reference-exact)",
         "steps_per_dispatch": steps_per_dispatch,

@@ -316,7 +316,21 @@ def main():  # pragma: no cover - CLI
     parser.add_argument("--config", required=True)
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--components", default="rgb")
+    parser.add_argument(
+        "--allow_missing_lpips", action="store_true",
+        help="proceed without LPIPS when assets/lpips_alex.npz is absent "
+             "(default: error — the reference always scores LPIPS, "
+             "compute_metrics.py:15)")
     args, cfg_cmd = parser.parse_known_args()
+    if lpips_weights_path() is None and not args.allow_missing_lpips:
+        raise SystemExit(
+            "[metrics] ERROR: LPIPS weights not found (assets/lpips_alex.npz "
+            "or $LPIPS_WEIGHTS). The reference's metrics always include "
+            "LPIPS-AlexNet; refusing to emit a silently incomplete table.\n"
+            "  Export once on any torch+lpips host:\n"
+            "    python scripts/export_lpips_weights.py --out assets/lpips_alex.npz\n"
+            "  or pass --allow_missing_lpips to score PSNR/SSIM/MSE only."
+        )
     from mlinerf_tpu.config import Config, resolve
 
     cfg = Config(args.config, cli_args=cfg_cmd)

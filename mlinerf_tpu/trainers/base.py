@@ -231,6 +231,37 @@ class BaseTrainer:
             else jnp.float32
         )
         self.mesh = pmesh.get_mesh(cfg.get("runtime", {}).get("mesh", "rays"))
+        # Gradient-combine policy. ``runtime.grad_psum`` defaults to "auto":
+        # on any real mesh (> 1 device) the explicit-DDP shard_map layout is
+        # the default — the partitioner's constraint layout all-gathers the
+        # scatter OPERANDS (1.26 GB/step measured at the bench shape) where
+        # DDP moves one summed table grad (225 MB; PERF.md round 4). On a
+        # single chip the constraint layout stays: it is bitwise-exact vs
+        # the unsharded program and grad_psum would be a no-op. Explicit
+        # True/"bf16"/False override the policy either way.
+        rt = cfg.get("runtime", {})
+        requested = rt.get("grad_psum", "auto")
+        if requested and requested != "auto" and rt.get("shard_tables"):
+            # Mutually exclusive by construction: the shard_map in_specs for
+            # params are P() (replicated), so ZeRO row-sharded tables would
+            # be silently re-gathered every step — negating the memory lever
+            # AND the comm cut (ADVICE round 4).
+            raise ValueError(
+                "runtime.grad_psum and runtime.shard_tables are mutually "
+                "exclusive: the DDP shard_map layout replicates params, so "
+                "row-sharded tables would be re-gathered every step. Enable "
+                "at most one (grad_psum cuts comm; shard_tables cuts "
+                "optimizer-state memory)."
+            )
+        if requested == "auto":
+            self.grad_psum = bool(
+                self.mesh is not None
+                and self.mesh.devices.size > 1
+                and not rt.get("shard_tables")
+            )
+        else:
+            self.grad_psum = requested  # False | True | "bf16"
+        self._grad_psum_warned = False
 
         # Model ------------------------------------------------------------
         model_cls = resolve("model", cfg.model.type)
@@ -521,10 +552,28 @@ class BaseTrainer:
                 return total, (loss_dict, metric_dict)
 
             grad_specs = None
-            if cfg.get("runtime", {}).get("grad_psum") and self.mesh is not None:
+            if self.grad_psum and self.mesh is not None:
                 grad_specs = pmesh.partial_grad_specs(
                     self.mesh, batch, ray_axis_keys=("ray_idx",)
                 )
+                if grad_specs is None and not self._grad_psum_warned:
+                    # Trace-time (runs once per compile), outside the jitted
+                    # graph: the user asked for the 5.6-11x comm cut but the
+                    # ray axes don't divide the mesh — say so loudly instead
+                    # of silently paying the operand-gather layout.
+                    self._grad_psum_warned = True
+                    shapes = {
+                        k: tuple(getattr(v, "shape", ()))
+                        for k, v in batch.items()
+                        if k == "ray_idx" or k.endswith("_sampled")
+                    }
+                    print(
+                        f"[grad_psum] WARNING: ray axes do not divide the "
+                        f"{self.mesh.devices.size}-device mesh — falling back "
+                        f"to the constraint layout (operand all-gathers, "
+                        f"~5.6x more collective bytes). Offending ray-axis "
+                        f"shapes: {shapes}", flush=True,
+                    )
             if grad_specs is not None:
                 # Explicit DDP layout (runtime.grad_psum): each device runs
                 # the loss/grad on its LOCAL ray shard against replicated
@@ -564,7 +613,7 @@ class BaseTrainer:
                     )(trainable)
                     pm = lambda t: jax.tree.map(
                         lambda x: jax.lax.pmean(x, axis), t)
-                    if cfg.runtime.grad_psum == "bf16":
+                    if self.grad_psum == "bf16":
                         # Halve the wire bytes again: combine grads in bf16,
                         # hand fp32 back to the optimizer. ~1e-3 relative
                         # rounding on the combined grad — opt-in for pods
@@ -954,6 +1003,35 @@ class BaseTrainer:
             return self.state.ema_params
         return self.state.params
 
+    def _inference_window(self, num_rays_chunk: int) -> int:
+        """Chunks per dispatched render program.
+
+        "auto" (default): 32 at the shipped fast semantics (r4d ladder at
+        d19/64-sample shape: w8 63.3k / w16 62.1k / w32 71.0k rays/s, no
+        fault) — but the 32-window was ladder-validated ONLY there, and the
+        reference-parity shape (dict 2^22, 64+4x16 samples) OOM'd/faulted
+        at large windows in round 1, so heavy configs keep the round-1..3
+        validated 4-chunk window (round-4 ADVICE: defaults must be safe).
+        Chunks > 4096 rays OOM when windowed at all -> per-chunk loop. An
+        explicit int in runtime.inference_chunks_per_dispatch forces any
+        window; 1 = the per-chunk loop.
+        """
+        wc_cfg = self.cfg.get("runtime", {}).get("inference_chunks_per_dispatch")
+        if wc_cfg not in (None, "auto"):
+            return int(wc_cfg)
+        if num_rays_chunk > 4096:
+            return 1
+        mcfg = self.cfg.model
+        dict_size = (mcfg.get("object", {}).get("sdf", {})
+                     .get("encoding", {}).get("hashgrid", {})
+                     .get("dict_size", 0))
+        rcfg = mcfg.get("render", {})
+        ns = rcfg.get("num_samples", {})
+        samples = (ns.get("coarse", 0)
+                   + rcfg.get("num_sample_hierarchy", 0) * ns.get("fine", 0))
+        heavy = dict_size >= 20 or samples > 96
+        return 4 if heavy else 32
+
     def _eval_cond(self, cond_it, max_levels):
         """Schedule inputs for eval renders, with the static level cap."""
         cond = self.make_cond(cond_it)
@@ -1093,11 +1171,7 @@ class BaseTrainer:
         # chunks OOM when windowed). An explicit int forces that window;
         # 1 = the per-chunk loop (the all-chunks lax.map faults some TPU
         # runtimes at production size — see PERF.md).
-        wc_cfg = self.cfg.get("runtime", {}).get("inference_chunks_per_dispatch")
-        if wc_cfg in (None, "auto"):
-            wc = 32 if num_rays_chunk <= 4096 else 1
-        else:
-            wc = int(wc_cfg)
+        wc = self._inference_window(num_rays_chunk)
         if wc > 1:
             window = wc * num_rays_chunk
             render_fn = self._render_image_fn(skw)

@@ -8,6 +8,7 @@ works under ``jit``/``vmap``/``grad`` without device-side control flow.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -355,3 +356,76 @@ def inside_camera_view(intr, pose, image_size, pts, z_min=0.0):
         & (pts_2d[..., 1] <= y_max)
     )
     return in_range & z_ok
+
+
+def sample_on_spherical_cap(key, anchor, N, max_angle):
+    """Uniform samples on the spherical cap of half-angle ``max_angle``
+    centered on the unit vector ``anchor``.
+
+    Functional counterpart of the reference's novel-pose sampler
+    (projects/nerf/utils/camera.py:457-485): draw uniformly on the unit
+    disk, lift to the cap of height ``h = 1 - cos(max_angle)`` around +z
+    (area-preserving reparametrization), then rotate +z onto ``anchor``
+    with the Rodrigues rotation built from ``anchor x z``. A PRNG key
+    replaces torch's global RNG — the draw is pure and jit/vmap-safe.
+
+    Args:
+        key: PRNG key.
+        anchor: [..., 3] unit vectors (cap centers).
+        N: samples per anchor.
+        max_angle: cap half-angle (radians).
+
+    Returns:
+        [..., N, 3] unit vectors inside the cap.
+    """
+    batch_shape = anchor.shape[:-1]
+    k_r, k_t = jax.random.split(key)
+    radius = jax.random.uniform(k_r, batch_shape + (N,))
+    theta = jax.random.uniform(k_t, batch_shape + (N,)) * (2.0 * jnp.pi)
+    x = jnp.sqrt(radius) * jnp.cos(theta)
+    y = jnp.sqrt(radius) * jnp.sin(theta)
+    h = 1.0 - jnp.cos(max_angle)  # cap height
+    k = h * radius
+    s = jnp.sqrt(h * (2.0 - k))
+    points = jnp.stack([s * x, s * y, 1.0 - k], axis=-1)  # [...,N,3] around +z
+    # Rodrigues: rotate +z onto the anchor (stable for anchor != -z).
+    ref_z = jnp.asarray([0.0, 0.0, 1.0], anchor.dtype)
+    v = -jnp.cross(anchor, jnp.broadcast_to(ref_z, anchor.shape))
+    ss_v = skew_symmetric(v)
+    denom = 1.0 + (anchor * ref_z).sum(-1)
+    R = jnp.eye(3, dtype=anchor.dtype) + ss_v + (ss_v @ ss_v) / denom[..., None, None]
+    # precision pinned: the default dot precision computes in bf16 on TPU
+    # and quantizes unit vectors to ~1e-3 off the sphere.
+    return jnp.einsum("...nj,...kj->...nk", points, R,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def sample_on_spherical_cap_northern(key, anchor, N, max_angle, away_from=None,
+                                     max_reject_count=8):
+    """Cap samples restricted to the northern hemisphere (z > 0), optionally
+    also "outward" of ``away_from`` (reference camera.py:488-514).
+
+    The reference rejection-resamples in a data-dependent Python loop; under
+    jit that is a bounded ``lax.fori_loop`` of ``max_reject_count`` fixed
+    resample rounds (invalid lanes re-drawn each round). Lanes still invalid
+    after the budget collapse to the anchor itself — the reference's own
+    ``max_reject_count`` fallback, made shape-static.
+    """
+    def invalid_mask(points):
+        bad = points[..., 2] < 0.0
+        if away_from is not None:
+            cos_ab = (away_from * anchor).sum(-1, keepdims=True)
+            cos_ac = (away_from[..., None, :] * points).sum(-1)
+            bad = bad | (cos_ab < cos_ac)
+        return bad
+
+    points = sample_on_spherical_cap(key, anchor, N, max_angle)
+
+    def body(i, pts):
+        k_i = jax.random.fold_in(key, i + 1)
+        fresh = sample_on_spherical_cap(k_i, anchor, N, max_angle)
+        return jnp.where(invalid_mask(pts)[..., None], fresh, pts)
+
+    points = jax.lax.fori_loop(0, max_reject_count, body, points)
+    anchor_b = jnp.broadcast_to(anchor[..., None, :], points.shape)
+    return jnp.where(invalid_mask(points)[..., None], anchor_b, points)

@@ -36,9 +36,45 @@ SCATTER_PRIMS = {"scatter", "scatter-add", "scatter-mul", "scatter-min",
 # operand residency tier.
 TIER_RATES = ((119e6, "<=256KB"), (52.5e6, "512KB-8MB"), (12.0e6, ">=16MB"))
 
+# Per-op row rates by TABLE residency tier, for the roofline (all measured
+# on this chip — PERF.md round-1 microbenchmarks + round-2 scatter sweep +
+# r3d FREEZE subtractions). Scatter: 119 / 52.5 / 12 Mrows/s at <=256KB /
+# 512KB-8MB / >=16MB. Gather: 200 Mrows/s at cache-resident sizes, 145 at
+# the mid tier, 131 (bf16) / 60 (f32) HBM-resident. Both ops are per-ROW
+# latency-bound (width-insensitive), so rows/rate = seconds.
+_SCATTER_TIER = ((256 * 1024, 119e6), (8 * 1024 * 1024, 52.5e6),
+                 (float("inf"), 12.0e6))
+_GATHER_TIER = ((512 * 1024, 200e6), (8 * 1024 * 1024, 145e6),
+                (float("inf"), None))  # HBM tier rate depends on dtype
+
+
+def _row_rate(kind: str, operand_bytes: int, is_bf16: bool) -> float:
+    tiers = _SCATTER_TIER if kind == "scatter" else _GATHER_TIER
+    for limit, rate in tiers:
+        if operand_bytes <= limit:
+            if rate is None:  # gather HBM tier
+                return 131e6 if is_bf16 else 60e6
+            return rate
+    raise AssertionError
+
 
 def _aval_str(aval):
     return f"{list(aval.shape)}:{aval.dtype}"
+
+
+_DTYPE_BYTES = {"bfloat16": 2, "float16": 2, "float32": 4, "float64": 8,
+                "int8": 1, "uint8": 1, "int16": 2, "uint16": 2,
+                "int32": 4, "uint32": 4, "int64": 8, "uint64": 8, "bool": 1}
+
+
+def _parse_aval_bytes(aval_str: str):
+    """(nbytes, is_bf16) back out of an _aval_str key."""
+    shape_s, dtype_s = aval_str.rsplit(":", 1)
+    dims = [int(x) for x in shape_s.strip("[]").split(",") if x.strip()]
+    n = 1
+    for d in dims:
+        n *= d
+    return n * _DTYPE_BYTES.get(dtype_s, 4), dtype_s == "bfloat16"
 
 
 def walk(jaxpr, mult, gathers, scatters, whiles):
@@ -163,8 +199,32 @@ def main():
     for rate, tier in TIER_RATES:
         print(f"scatter rows at {tier} tier ({rate/1e6:.0f} Mrows/s): "
               f"{s / rate:.3f} s/step")
+
+    # Roofline: every row priced at its operand's measured tier rate (the
+    # ops are per-row latency-bound, so sum(rows/rate) is the floor the
+    # hardware+toolchain allows this program; v5e executes the fusions
+    # serially, so the terms add).
+    floor_s = 0.0
+    for table, kind in ((gathers, "gather"), (scatters, "scatter")):
+        for (operand, _rows_per, _prim), (_count, rows) in table.items():
+            nbytes, is_bf16 = _parse_aval_bytes(operand)
+            floor_s += rows / _row_rate(kind, nbytes, is_bf16)
+    rays = int(cfg.model.render.rand_rays)
+    attainable = rays / floor_s if floor_s > 0 else float("inf")
+    print(f"\nroofline: floor {floor_s:.3f} s/step -> attainable "
+          f"{attainable:,.0f} rays/s at {rays} rays/step")
     print(f"\n(config: {os.environ.get('BENCH_CONFIG', bench.DEFAULT_CONFIG)}, "
           f"gather rows {g:,}, scatter rows {s:,})")
+    if "--json" in sys.argv:
+        import json
+
+        print(json.dumps(dict(
+            config=os.environ.get("BENCH_CONFIG", bench.DEFAULT_CONFIG),
+            gather_rows=int(g), scatter_rows=int(s),
+            floor_s_per_step=floor_s,
+            attainable_rays_per_sec=attainable,
+            rays_per_step=rays,
+        )))
 
 
 if __name__ == "__main__":

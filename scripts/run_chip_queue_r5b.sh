@@ -1,0 +1,77 @@
+#!/bin/bash
+# Round-5 queue b — chains off r5a's DONE marker:
+#   4. End-to-end chip artifact (verdict item 6): the full 7-step pipeline
+#      through the production CLIs at production model shape
+#      (scripts/run_e2e_chip.sh -> docs/round5_evidence/e2e/).
+#   5. 512x512 prodscale arm (verdict item 5): the reference's synthetic
+#      resolution (syn_hotdog_a.yaml:15-17), in-cell B (exact-budget
+#      control) vs I (shipped arm).
+#   6. Fresh bench at the shipped default with the new roofline fields
+#      (vs_attainable) for the round-5 evidence trail.
+set -u
+DEADLINE=${R5_DEADLINE:-$(( $(date +%s) + 39600 ))}
+cell_timeout() {
+  local now rem
+  now=$(date +%s)
+  rem=$((DEADLINE - now + 300))
+  if [ "$rem" -gt "$1" ]; then rem=$1; fi
+  echo "$rem"
+}
+past_deadline() { [ "$(date +%s)" -ge "$DEADLINE" ]; }
+cd "$(dirname "$0")/.."
+AB=docs/round5_evidence/ab_logs
+BL=docs/round5_evidence/bench_logs
+mkdir -p "$AB" "$BL"
+
+# Wait for r5a (marker in its log, or its driver's death).
+while ! grep -q "QUEUE_R5A DONE" docs/round5_evidence/queue_r5a.log 2>/dev/null; do
+  if past_deadline; then echo "deadline while waiting for r5a"; exit 0; fi
+  if [ -f /tmp/queue_r5a.pid ] && ! kill -0 "$(cat /tmp/queue_r5a.pid)" 2>/dev/null; then
+    echo "r5a driver gone; proceeding"; break
+  fi
+  sleep 60
+done
+
+ab() {
+  local log="$AB/$1"; shift
+  if [ -s "$log" ] && grep -q "PSNR" "$log" && grep -q DONE "$log"; then
+    echo "skip $log"; return
+  fi
+  if past_deadline; then echo "deadline: skip $log"; return; fi
+  echo "=== $log ($(date +%H:%M:%S)) ==="
+  env "$@" timeout "$(cell_timeout 14000)" python scripts/quality_ab.py > "$log" 2>&1
+  tail -n 6 "$log"
+}
+
+# 3b. B_s1 RETRY: the first attempt trained all 3000 iters but the TPU
+#     worker crashed at the final validation render (r5_prodscale_B_s1.log
+#     traceback; plausibly collateral from a concurrently-killed second TPU
+#     client — the verify-skill hazard). The cell is cheap to re-earn and
+#     is the round's #2 priority (seed-1 verdict for the shipped flip).
+mv -f "$AB/r5_prodscale_B_s1.log" "$AB/r5_prodscale_B_s1.attempt1_workerfault.log" 2>/dev/null || true
+ab r5_prodscale_B_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS="B:"
+
+# 4. E2E artifact.
+if ! grep -q "E2E DONE" docs/round5_evidence/e2e/pipeline.log 2>/dev/null; then
+  if ! past_deadline; then
+    echo "=== e2e artifact ($(date +%H:%M:%S)) ==="
+    timeout "$(cell_timeout 10800)" bash scripts/run_e2e_chip.sh \
+      > docs/round5_evidence/e2e/driver.log 2>&1 || \
+      echo "e2e FAILED (see docs/round5_evidence/e2e/)"
+    tail -3 docs/round5_evidence/e2e/driver.log
+  fi
+fi
+
+# 5. 512x512 prodscale arm: in-cell B (control) vs I (shipped).
+ab r5_prodscale512_BI_s0.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=0 \
+   AB_IMAGE_SIZE=512 AB_VARIANTS="B:,I:"
+
+# 6. Fresh bench at the shipped default (train + render + roofline fields).
+if [ ! -s "$BL/r5_bench_default.log" ] && ! past_deadline; then
+  echo "=== bench default ($(date +%H:%M:%S)) ==="
+  timeout "$(cell_timeout 2400)" python bench.py > "$BL/r5_bench_default.log" \
+    2> "$BL/r5_bench_default.err"
+  tail -1 "$BL/r5_bench_default.log"
+fi
+
+echo "QUEUE_R5B DONE $(date +%H:%M:%S)"

@@ -131,3 +131,67 @@ def test_inside_camera_view():
     pts = jnp.asarray([[0.0, 0.0, 2.0], [0.0, 0.0, -1.0], [100.0, 0.0, 1.0]])
     mask = camera.inside_camera_view(intr, pose, (H, W), pts)
     assert bool(mask[0]) and not bool(mask[1]) and not bool(mask[2])
+
+
+def test_sample_on_spherical_cap():
+    """Samples lie on the unit sphere, inside the cap angle, and are roughly
+    area-uniform (reference camera.py:457-485 semantics, PRNG-key API)."""
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    max_angle = 0.4
+    for anchor in ([0.0, 0.0, 1.0], [0.6, 0.0, 0.8], [0.0, -0.8, 0.6]):
+        a = jnp.asarray(anchor)
+        pts = camera.sample_on_spherical_cap(key, a, 2048, max_angle)
+        assert pts.shape == (2048, 3)
+        np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 1.0, atol=1e-5)
+        cos_to_anchor = np.asarray(pts @ a)
+        assert cos_to_anchor.min() >= np.cos(max_angle) - 1e-5
+    # Area-uniformity on the cap: z = cos(angle-to-anchor) is uniform on
+    # [cos(max_angle), 1] for a uniform cap distribution.
+    a = jnp.asarray([0.0, 0.0, 1.0])
+    z = np.asarray(camera.sample_on_spherical_cap(key, a, 8192, max_angle))[:, 2]
+    u = (z - np.cos(max_angle)) / (1 - np.cos(max_angle))
+    hist, _ = np.histogram(u, bins=8, range=(0, 1))
+    assert hist.min() > 0.7 * (8192 / 8) and hist.max() < 1.3 * (8192 / 8)
+
+
+def test_sample_on_spherical_cap_batched_jit():
+    import jax
+
+    key = jax.random.PRNGKey(3)
+    anchors = jnp.asarray([[0.0, 0.0, 1.0], [0.6, 0.0, 0.8]])
+    pts = jax.jit(
+        lambda k: camera.sample_on_spherical_cap(k, anchors, 16, 0.5)
+    )(key)
+    assert pts.shape == (2, 16, 3)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 1.0, atol=1e-5)
+
+
+def test_sample_on_spherical_cap_northern():
+    """Northern variant: z >= 0 always; with away_from, samples stay on the
+    anchor's side (cos(away,anchor) >= cos(away,sample)); fallback collapses
+    impossible lanes to the anchor (reference camera.py:488-514)."""
+    import jax
+
+    key = jax.random.PRNGKey(1)
+    a = jnp.asarray([0.8, 0.0, 0.6])
+    pts = camera.sample_on_spherical_cap_northern(key, a, 512, 1.2)
+    assert float(pts[..., 2].min()) >= 0.0
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 1.0, atol=1e-5)
+
+    away = jnp.asarray([0.0, 1.0, 0.0])
+    pts2 = camera.sample_on_spherical_cap_northern(key, a, 512, 1.0,
+                                                   away_from=away)
+    cos_ab = float(away @ a)
+    cos_ac = np.asarray(pts2 @ away)
+    assert (cos_ac <= cos_ab + 1e-5).all()
+
+    # An impossible constraint (away_from == -anchor: cos_ab = -1, so every
+    # non-anchor sample is "not outwards") exhausts the reject budget ->
+    # lanes collapse to the anchor.
+    pts3 = camera.sample_on_spherical_cap_northern(
+        key, a, 64, 3.0, away_from=-a, max_reject_count=2)
+    frac_anchor = float(np.mean(np.linalg.norm(np.asarray(pts3) - np.asarray(a),
+                                               axis=-1) < 1e-5))
+    assert frac_anchor > 0.5

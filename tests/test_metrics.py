@@ -145,3 +145,22 @@ def test_metrics_harness_reports_lpips_with_weights(tmp_path, monkeypatch):
     m = M.calculate_metrics(pred, gt)
     assert m["lpips"] is not None and np.isfinite(m["lpips"])
     M._LPIPS_CACHE.clear()
+
+
+def test_metrics_cli_errors_without_lpips_weights(monkeypatch):
+    """The metrics CLI must FAIL (not silently skip) when LPIPS weights are
+    absent — the reference always scores LPIPS (compute_metrics.py:15);
+    --allow_missing_lpips is the explicit opt-out (round-4 verdict item 8)."""
+    import sys
+
+    import pytest as _pytest
+
+    from mlinerf_tpu.pipelines import metrics as M
+
+    if M.lpips_weights_path() is not None:
+        _pytest.skip("lpips weights vendored — the error path is unreachable")
+    monkeypatch.setattr(sys, "argv",
+                        ["metrics", "--config", "configs/syn_sphere_a.yaml",
+                         "--output_dir", "/tmp/nonexistent_metrics_dir"])
+    with _pytest.raises(SystemExit, match="LPIPS"):
+        M.main()

@@ -62,6 +62,11 @@ def test_sharded_matches_unsharded(tmp_path):
         cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=2)
         cfg.model.render.rand_rays = 64
         cfg.runtime.mesh = mesh_mode
+        # Pin the CONSTRAINT layout: this test asserts its bitwise-class
+        # equality with the unsharded program. grad_psum (the mesh>1
+        # default since round 5) folds per-device rng and is parity-tested
+        # separately in tests/test_grad_psum.py.
+        cfg.runtime.grad_psum = False
         Dataset = resolve("dataset", cfg.data.type)
         arrays = Dataset(cfg).as_arrays()
         Trainer = resolve("trainer", cfg.trainer.type)
@@ -86,6 +91,10 @@ def test_zero_sharded_tables_match_replicated(tmp_path):
         cfg.model.object.sdf.encoding.hashgrid.dict_size = 13
         cfg.runtime.mesh = "rays"
         cfg.runtime.shard_tables = shard_tables
+        # Both arms on the constraint layout: the False arm would otherwise
+        # auto-enable grad_psum (mesh>1 default) and fold per-device rng,
+        # breaking the replicated-vs-ZeRO comparison this test is about.
+        cfg.runtime.grad_psum = False
         Dataset = resolve("dataset", cfg.data.type)
         arrays = Dataset(cfg).as_arrays()
         Trainer = resolve("trainer", cfg.trainer.type)
@@ -140,6 +149,7 @@ def test_zero_sharded_tables_production_shapes(tmp_path):
         enc.hashgrid.dtype = "bfloat16"  # production table dtype
         cfg.runtime.mesh = "rays"
         cfg.runtime.shard_tables = shard_tables
+        cfg.runtime.grad_psum = False  # constraint-layout comparison
         Dataset = resolve("dataset", cfg.data.type)
         arrays = Dataset(cfg).as_arrays()
         Trainer = resolve("trainer", cfg.trainer.type)
@@ -181,6 +191,7 @@ def test_subsampled_gradients_sharded_matches_unsharded(tmp_path):
         cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=2)
         cfg.model.render.rand_rays = 64
         cfg.runtime.mesh = mesh_mode
+        cfg.runtime.grad_psum = False  # constraint-layout parity test
         sub = cfg.model.object.sdf.gradient.subsample
         sub.enabled = True
         sub.topk = 6
@@ -206,6 +217,7 @@ def test_corner_sampled_sharded_matches_unsharded(tmp_path):
         cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=3)
         cfg.model.render.rand_rays = 64
         cfg.runtime.mesh = mesh_mode
+        cfg.runtime.grad_psum = False  # constraint-layout parity test
         cfg.model.object.sdf.gradient.corner_sample.enabled = True
         cfg.model.object.sdf.gradient.shared_levels = "auto"
         cfg.model.object.sdf.gradient.hessian.mode = "exact"
@@ -231,6 +243,7 @@ def test_dense_blocked_sharded_matches_unsharded(tmp_path):
         cfg = tiny_lumen_cfg(tmp_path, "a", max_iter=3)
         cfg.model.render.rand_rays = 64
         cfg.runtime.mesh = mesh_mode
+        cfg.runtime.grad_psum = False  # constraint-layout parity test
         cfg.model.object.sdf.encoding.hashgrid.dense_blocked = True
         Dataset = resolve("dataset", cfg.data.type)
         arrays = Dataset(cfg).as_arrays()
