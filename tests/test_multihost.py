@@ -152,6 +152,11 @@ from mlinerf_tpu.config import resolve
 cfg = tiny_lumen_cfg(tempfile.mkdtemp(), "a", max_iter=2)
 cfg.model.render.rand_rays = 64
 cfg.runtime.mesh = "rays"
+# Pin the CONSTRAINT layout: this test checks cross-process parity against
+# the single-process constant below, which only holds for the layout whose
+# semantics are bitwise-global. grad_psum (the mesh>1 default) folds
+# per-device rng; its parity is tested in tests/test_grad_psum.py.
+cfg.runtime.grad_psum = False
 Dataset = resolve("dataset", cfg.data.type)
 arrays = Dataset(cfg).as_arrays()
 Trainer = resolve("trainer", cfg.trainer.type)
