@@ -432,22 +432,52 @@ def measure(steps_per_dispatch: int) -> None:
     # Fault-isolated subprocess on CPU — tracing never executes, so the
     # count is free at any dict size.
     attainable = None
-    if not os.environ.get("BENCH_SKIP_ROOFLINE"):
+    # BENCH_SMALL is a CPU smoke mode whose shrunken model never matches the
+    # traced roofline config — skip rather than report a wrong ratio.
+    if not os.environ.get("BENCH_SKIP_ROOFLINE") and not os.environ.get("BENCH_SMALL"):
+        # Committed cache first: the jaxpr trace costs ~10 min on this
+        # 1-core host, and the counts are a pure function of the config
+        # knobs. Keyed on every env knob that changes the traced program.
+        cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "docs", "roofline_cache.json")
+        knob_keys = sorted(k for k in os.environ if k.startswith("BENCH_"))
+        cache_key = os.environ.get("BENCH_CONFIG", DEFAULT_CONFIG) + "|" + \
+            ",".join(f"{k}={os.environ[k]}" for k in knob_keys
+                     if k not in ("BENCH_AS_CHILD", "BENCH_SPD", "BENCH_ITERS",
+                                  "BENCH_SKIP_RENDER"))
         try:
-            import subprocess
-            import sys as _sys
-            env = dict(os.environ, JAX_PLATFORMS="cpu", ATTR_SMALL="1")
-            env.pop("BENCH_AS_CHILD", None)
-            out = subprocess.run(
-                [_sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "scripts", "attribute_rows.py"), "--json"],
-                env=env, capture_output=True, text=True, timeout=1800,
-            )
-            attainable = json.loads(out.stdout.strip().splitlines()[-1])
-        except Exception as exc:  # noqa: BLE001
-            import sys
-            sys.stderr.write(f"[bench] roofline attribution failed: {exc!r}\n")
+            with open(cache_path) as f:
+                attainable = json.load(f).get(cache_key)
+        except Exception:  # noqa: BLE001
+            attainable = None
+        if attainable is None:
+            try:
+                import subprocess
+                import sys as _sys
+                env = dict(os.environ, JAX_PLATFORMS="cpu", ATTR_SMALL="1")
+                env.pop("BENCH_AS_CHILD", None)
+                env.pop("PALLAS_AXON_POOL_IPS", None)
+                out = subprocess.run(
+                    [_sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "scripts", "attribute_rows.py"), "--json"],
+                    env=env, capture_output=True, text=True, timeout=1800,
+                )
+                attainable = json.loads(out.stdout.strip().splitlines()[-1])
+                try:
+                    cache = {}
+                    if os.path.exists(cache_path):
+                        with open(cache_path) as f:
+                            cache = json.load(f)
+                    cache[cache_key] = attainable
+                    with open(cache_path, "w") as f:
+                        json.dump(cache, f, indent=1)
+                except Exception:  # noqa: BLE001 - cache write is best-effort
+                    pass
+            except Exception as exc:  # noqa: BLE001
+                import sys
+                sys.stderr.write(
+                    f"[bench] roofline attribution failed: {exc!r}\n")
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
