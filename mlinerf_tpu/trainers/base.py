@@ -697,6 +697,9 @@ class BaseTrainer:
     def train(self, train_arrays: Dict[str, jnp.ndarray], val_dataset=None,
               show_progress: bool = False):
         cfg = self.cfg
+        # Renders later in this process use conservative dispatch windows —
+        # see _inference_window (post-training worker fragility, round 5).
+        self._trained_in_process = True
         arrays = {k: jnp.asarray(v) for k, v in train_arrays.items()}
         state = self.state
         rng = jax.random.fold_in(self.rng, 17)
@@ -1021,6 +1024,17 @@ class BaseTrainer:
             return int(wc_cfg)
         if num_rays_chunk > 4096:
             return 1
+        if getattr(self, "_trained_in_process", False):
+            # Post-training renders in the SAME process fault the worker at
+            # the 32-chunk window (2/2 crashes at production shape, round-5
+            # evidence: r5_prodscale_B_s1.attempt1_workerfault.log and
+            # r5_stageb_prod_BI_s0 light renders), while every fresh
+            # render-only process survived it (r4 inference ladder, 6 runs)
+            # and every post-training render at 4 survived (all r4
+            # prodscale validates). The worker's fragility tracks sustained
+            # prior pressure, not the render program alone — so "auto"
+            # keeps the proven 4-chunk window once train() has run here.
+            return 4
         mcfg = self.cfg.model
         dict_size = (mcfg.get("object", {}).get("sdf", {})
                      .get("encoding", {}).get("hashgrid", {})

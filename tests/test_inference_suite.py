@@ -138,6 +138,15 @@ def test_auto_inference_window_policy(tmp_path):
     assert tr._inference_window(4096) == 4
     # oversized chunk -> per-chunk loop regardless
     assert tr._inference_window(8192) == 1
+    # post-training renders in the same process cap at the proven 4-chunk
+    # window (round-5: 2/2 worker faults at w32 after an hour of training,
+    # zero at w4; fresh render-only processes keep 32)
+    rnd.num_samples.coarse = 32
+    rnd.num_sample_hierarchy = 2
+    tr._trained_in_process = True
+    assert tr._inference_window(4096) == 4
+    tr._trained_in_process = False
+    assert tr._inference_window(4096) == 32
     # explicit int overrides everything
     cfg.runtime.inference_chunks_per_dispatch = 7
     assert tr._inference_window(8192) == 7
