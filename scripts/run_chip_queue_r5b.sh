@@ -55,6 +55,7 @@ ab r5_prodscale_B_s1.log AB_STUDY=prodscale AB_ITERS=3000 AB_SEED=1 AB_VARIANTS=
 if ! grep -q "E2E DONE" docs/round5_evidence/e2e/pipeline.log 2>/dev/null; then
   if ! past_deadline; then
     echo "=== e2e artifact ($(date +%H:%M:%S)) ==="
+    mkdir -p docs/round5_evidence/e2e
     timeout "$(cell_timeout 10800)" bash scripts/run_e2e_chip.sh \
       > docs/round5_evidence/e2e/driver.log 2>&1 || \
       echo "e2e FAILED (see docs/round5_evidence/e2e/)"
