@@ -10,6 +10,10 @@
 # run_rene.sh:12-18. Artifacts land in docs/round5_evidence/e2e/.
 set -e
 cd "$(dirname "$0")/.."
+# Let the TPU worker settle if a previous client just exited/was stopped
+# (a fresh client attaching immediately after a killed one has faulted the
+# worker before — round-5 postmortems in PERF.md).
+sleep 90
 EV=docs/round5_evidence/e2e
 mkdir -p "$EV"
 LOG="$EV/pipeline.log"
